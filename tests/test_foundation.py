@@ -201,8 +201,9 @@ class TestLosses:
 class TestGeneral:
     def test_expon_lr(self):
         f = get_expon_lr_func(1e-2, 1e-4, max_steps=100)
-        assert abs(float(f(0)) - 1e-2) < 1e-9
-        assert abs(float(f(100)) - 1e-4) < 1e-9
+        # exp(log(x)) round-trips through float32 on device: ~1e-7 relative
+        assert abs(float(f(0)) - 1e-2) < 1e-2 * 1e-4
+        assert abs(float(f(100)) - 1e-4) < 1e-4 * 1e-4
         assert float(f(-1)) == 0.0
 
     def test_knn(self, rng):
