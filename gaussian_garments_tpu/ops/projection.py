@@ -201,7 +201,10 @@ def project_gaussians(
         dirs = means3d - campos[None, :]
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
         sh_view = jnp.swapaxes(shs, -1, -2)  # (N, 3, K)
-        rgb = sh_utils.eval_sh(sh_degree, sh_view, dirs[:, None, :])
+        # eval_sh broadcasting contract: dirs (N,3) against sh (N,C,K) — the
+        # direction components enter as (N,1), matching the reference
+        # (utils/sh_utils.py:62: dirs[..., 0:1] vs sh[..., i] of shape (N,C)).
+        rgb = sh_utils.eval_sh(sh_degree, sh_view, dirs)
         rgb = jnp.maximum(rgb + 0.5, 0.0)
 
     opac = jnp.zeros((n,)) if opacities is None else opacities.reshape(n)

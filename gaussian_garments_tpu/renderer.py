@@ -1,0 +1,213 @@
+"""Public differentiable render API.
+
+Mirrors the reference ``gaussian_renderer.render`` / ``doll_render``
+(``gaussian_renderer/__init__.py:21-221``) — the single most important
+interface in the pipeline — but functional: the caller passes a
+``SplatBundle`` (world-space splat tensors + SH config) instead of a stateful
+model, and gets back the same output dict
+``{render, viewspace_points, visibility_filter, radii, 3dposition, depth, alpha}``.
+
+Differences by design (documented for parity review):
+- ``viewspace_points`` grads: JAX has no ``retain_grad``; pass
+  ``screen_offset`` (zeros (N,2)) and differentiate w.r.t. it — identical
+  gradient signal (``∂L/∂mean2D``) used for densification stats.
+- ``vis_mask``: the reference drops rows (dynamic shape); we zero opacities,
+  which renders identically and keeps shapes static for XLA.
+- Padded/dead splats (capacity scheme) also render with opacity 0.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from gaussian_garments_tpu.ops.projection import project_gaussians
+from gaussian_garments_tpu.ops.rasterizer_ref import rasterize_reference
+from gaussian_garments_tpu.ops.tiled import rasterize_tiled
+
+
+@struct.dataclass
+class SplatBundle:
+    """World-space splat tensors ready for rasterization."""
+
+    means3d: jnp.ndarray                      # (N,3)
+    opacity: jnp.ndarray                      # (N,1) activated
+    scales: Optional[jnp.ndarray] = None      # (N,3) activated
+    rotations: Optional[jnp.ndarray] = None   # (N,4) normalized
+    cov3d_precomp: Optional[jnp.ndarray] = None  # (N,6)
+    shs: Optional[jnp.ndarray] = None         # (N,K,3)
+    colors_precomp: Optional[jnp.ndarray] = None  # (N,3)
+    active_sh_degree: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class RasterConfig:
+    """Static rasterizer knobs (pytree aux data)."""
+
+    tile_size: int = struct.field(pytree_node=False, default=16)
+    max_tiles_side: int = struct.field(pytree_node=False, default=6)
+    tile_capacity: int = struct.field(pytree_node=False, default=256)
+    chunk_tiles: int = struct.field(pytree_node=False, default=64)
+    use_reference: bool = struct.field(pytree_node=False, default=False)
+
+
+@struct.dataclass
+class BatchedCameras:
+    """A stacked batch of cameras sharing static width/height — the unit of
+    camera data parallelism (SURVEY.md §2.6: stage 2 renders k cameras per
+    step, one shard per chip, instead of the reference's 1 random
+    camera/iteration)."""
+
+    world_view: jnp.ndarray   # (B,4,4) transposed world->view
+    full_proj: jnp.ndarray    # (B,4,4)
+    campos: jnp.ndarray       # (B,3)
+    tanfovx: jnp.ndarray      # (B,)
+    tanfovy: jnp.ndarray      # (B,)
+    image: Optional[jnp.ndarray] = None   # (B,3,H,W)
+    mask: Optional[jnp.ndarray] = None    # (B,1,H,W)
+    width: int = struct.field(pytree_node=False, default=0)
+    height: int = struct.field(pytree_node=False, default=0)
+
+    @classmethod
+    def from_cameras(cls, cameras) -> "BatchedCameras":
+        import numpy as np
+        c0 = cameras[0]
+        has_img = c0.original_image is not None
+        has_mask = c0.gt_alpha_mask is not None
+        return cls(
+            world_view=jnp.stack([c.world_view_transform for c in cameras]),
+            full_proj=jnp.stack([c.full_proj_transform for c in cameras]),
+            campos=jnp.stack([c.camera_center for c in cameras]),
+            tanfovx=jnp.asarray(np.array([c.tanfovx for c in cameras], np.float32)),
+            tanfovy=jnp.asarray(np.array([c.tanfovy for c in cameras], np.float32)),
+            image=jnp.stack([c.original_image for c in cameras]) if has_img else None,
+            mask=jnp.stack([c.gt_alpha_mask for c in cameras]) if has_mask else None,
+            width=c0.image_width,
+            height=c0.image_height,
+        )
+
+
+def render_batch(
+    cams: BatchedCameras,
+    bundle: SplatBundle,
+    bg_color: jnp.ndarray,
+    *,
+    scaling_modifier: float = 1.0,
+    vis_mask: Optional[jnp.ndarray] = None,
+    screen_offset: Optional[jnp.ndarray] = None,  # (B,N,2)
+    config: RasterConfig = RasterConfig(),
+):
+    """vmapped render over a camera batch. Returns the same dict with a
+    leading batch axis on render/depth/alpha/radii."""
+    import jax
+
+    opac = bundle.opacity.reshape(-1)
+    if vis_mask is not None:
+        opac = opac * vis_mask.astype(opac.dtype)
+
+    def one(wv, fp, cp, tfx, tfy, off):
+        proj = project_gaussians(
+            bundle.means3d, wv, fp, cp,
+            image_width=cams.width, image_height=cams.height,
+            tanfovx=tfx, tanfovy=tfy,
+            scales=bundle.scales, rotations=bundle.rotations,
+            cov3d_precomp=bundle.cov3d_precomp,
+            shs=bundle.shs, colors_precomp=bundle.colors_precomp,
+            opacities=opac, sh_degree=bundle.active_sh_degree,
+            scaling_modifier=scaling_modifier, screen_offset=off,
+        )
+        if config.use_reference:
+            image, depth, alpha = rasterize_reference(
+                proj, image_height=cams.height, image_width=cams.width, bg=bg_color)
+            aux = {"n_clipped": jnp.zeros((), jnp.int32), "n_overflow": jnp.zeros((), jnp.int32)}
+        else:
+            image, depth, alpha, aux = rasterize_tiled(
+                proj, image_height=cams.height, image_width=cams.width, bg=bg_color,
+                tile_size=config.tile_size, max_tiles_side=config.max_tiles_side,
+                tile_capacity=config.tile_capacity, chunk_tiles=config.chunk_tiles,
+            )
+        return image, depth, alpha, proj.radii, aux
+
+    if screen_offset is None:
+        screen_offset = jnp.zeros((cams.world_view.shape[0], bundle.means3d.shape[0], 2))
+    image, depth, alpha, radii, aux = jax.vmap(one)(
+        cams.world_view, cams.full_proj, cams.campos, cams.tanfovx, cams.tanfovy, screen_offset
+    )
+    return {
+        "render": image,
+        "depth": depth,
+        "alpha": alpha,
+        "radii": radii,
+        "visibility_filter": radii > 0,
+        "raster_aux": aux,
+    }
+
+
+def render(
+    camera,
+    bundle: SplatBundle,
+    bg_color: jnp.ndarray,
+    *,
+    scaling_modifier: float = 1.0,
+    vis_mask: Optional[jnp.ndarray] = None,
+    screen_offset: Optional[jnp.ndarray] = None,
+    config: RasterConfig = RasterConfig(),
+):
+    """Differentiable splat render of one camera.
+
+    Matches the marshaling of the reference ``render``
+    (``gaussian_renderer/__init__.py:36-122``): raster settings from the
+    camera's tan-fov/matrices, SH evaluated at ``active_sh_degree``, and the
+    depth/alpha outputs of the ``depth_alpha`` CUDA variant.
+    """
+    opac = bundle.opacity.reshape(-1)
+    if vis_mask is not None:
+        opac = opac * vis_mask.astype(opac.dtype)
+
+    proj = project_gaussians(
+        bundle.means3d,
+        camera.world_view_transform,
+        camera.full_proj_transform,
+        camera.camera_center,
+        image_width=camera.image_width,
+        image_height=camera.image_height,
+        tanfovx=camera.tanfovx,
+        tanfovy=camera.tanfovy,
+        scales=bundle.scales,
+        rotations=bundle.rotations,
+        cov3d_precomp=bundle.cov3d_precomp,
+        shs=bundle.shs,
+        colors_precomp=bundle.colors_precomp,
+        opacities=opac,
+        sh_degree=bundle.active_sh_degree,
+        scaling_modifier=scaling_modifier,
+        screen_offset=screen_offset,
+    )
+
+    if config.use_reference:
+        image, depth, alpha = rasterize_reference(
+            proj, image_height=camera.image_height, image_width=camera.image_width, bg=bg_color
+        )
+        aux = {"n_clipped": jnp.zeros((), jnp.int32), "n_overflow": jnp.zeros((), jnp.int32)}
+    else:
+        image, depth, alpha, aux = rasterize_tiled(
+            proj,
+            image_height=camera.image_height,
+            image_width=camera.image_width,
+            bg=bg_color,
+            tile_size=config.tile_size,
+            max_tiles_side=config.max_tiles_side,
+            tile_capacity=config.tile_capacity,
+            chunk_tiles=config.chunk_tiles,
+        )
+
+    return {
+        "render": image,
+        "visibility_filter": proj.radii > 0,
+        "radii": proj.radii,
+        "3dposition": bundle.means3d,
+        "depth": depth,
+        "alpha": alpha,
+        "raster_aux": aux,
+    }
