@@ -405,10 +405,8 @@ def reset_opacity(params: GaussianParams, adam: AdamState) -> Tuple[GaussianPara
 # ---------------------------------------------------------------------------
 
 def save_ply(path, params: GaussianParams, alive: Optional[np.ndarray] = None) -> None:
-    from plyfile import PlyData, PlyElement
-    import os
+    from gaussian_garments_tpu.utils.io import write_ply
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     sel = np.asarray(alive) if alive is not None else slice(None)
     xyz = np.asarray(params.xyz)[sel]
     n = xyz.shape[0]
@@ -420,48 +418,47 @@ def save_ply(path, params: GaussianParams, alive: Optional[np.ndarray] = None) -
     scale = np.asarray(params.scaling)[sel]
     rotation = np.asarray(params.rotation)[sel]
 
-    attrs = ["x", "y", "z", "nx", "ny", "nz"]
-    attrs += [f"f_dc_{i}" for i in range(f_dc.shape[1])]
-    attrs += [f"f_rest_{i}" for i in range(f_rest.shape[1])]
-    attrs += ["opacity"]
-    attrs += [f"scale_{i}" for i in range(scale.shape[1])]
-    attrs += [f"rot_{i}" for i in range(rotation.shape[1])]
-
-    dtype_full = [(a, "f4") for a in attrs]
-    elements = np.empty(n, dtype=dtype_full)
-    data = np.concatenate([xyz, normals, f_dc, f_rest, opacities, scale, rotation], axis=1)
-    elements[:] = list(map(tuple, data))
-    PlyData([PlyElement.describe(elements, "vertex")]).write(path)
+    cols = {}
+    for i, a in enumerate(["x", "y", "z"]):
+        cols[a] = xyz[:, i].astype(np.float32)
+    for i, a in enumerate(["nx", "ny", "nz"]):
+        cols[a] = normals[:, i].astype(np.float32)
+    for i in range(f_dc.shape[1]):
+        cols[f"f_dc_{i}"] = f_dc[:, i].astype(np.float32)
+    for i in range(f_rest.shape[1]):
+        cols[f"f_rest_{i}"] = f_rest[:, i].astype(np.float32)
+    cols["opacity"] = opacities[:, 0].astype(np.float32)
+    for i in range(scale.shape[1]):
+        cols[f"scale_{i}"] = scale[:, i].astype(np.float32)
+    for i in range(rotation.shape[1]):
+        cols[f"rot_{i}"] = rotation[:, i].astype(np.float32)
+    write_ply(path, cols)
 
 
 def load_ply(path, max_sh_degree: int, capacity: Optional[int] = None) -> Tuple[GaussianParams, GaussianAux]:
-    from plyfile import PlyData
+    from gaussian_garments_tpu.utils.io import read_ply
 
-    ply = PlyData.read(path)
-    v = ply.elements[0]
-    xyz = np.stack([np.asarray(v["x"]), np.asarray(v["y"]), np.asarray(v["z"])], axis=1).astype(np.float32)
+    v = read_ply(path)
+    xyz = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
     n = xyz.shape[0]
     opacities = np.asarray(v["opacity"])[:, None].astype(np.float32)
 
     f_dc = np.zeros((n, 3, 1), np.float32)
     for i in range(3):
-        f_dc[:, i, 0] = np.asarray(v[f"f_dc_{i}"])
+        f_dc[:, i, 0] = v[f"f_dc_{i}"]
 
-    extra = sorted([p.name for p in v.properties if p.name.startswith("f_rest_")],
-                   key=lambda s: int(s.split("_")[-1]))
+    extra = sorted([k for k in v if k.startswith("f_rest_")], key=lambda s: int(s.split("_")[-1]))
     r = (max_sh_degree + 1) ** 2 - 1
     assert len(extra) == 3 * r, f"PLY has {len(extra)} f_rest coeffs, expected {3*r}"
     f_rest = np.zeros((n, len(extra)), np.float32)
     for i, name in enumerate(extra):
-        f_rest[:, i] = np.asarray(v[name])
+        f_rest[:, i] = v[name]
     f_rest = f_rest.reshape(n, 3, r)
 
-    scale_names = sorted([p.name for p in v.properties if p.name.startswith("scale_")],
-                         key=lambda s: int(s.split("_")[-1]))
-    scales = np.stack([np.asarray(v[s]) for s in scale_names], axis=1).astype(np.float32)
-    rot_names = sorted([p.name for p in v.properties if p.name.startswith("rot")],
-                       key=lambda s: int(s.split("_")[-1]))
-    rots = np.stack([np.asarray(v[s]) for s in rot_names], axis=1).astype(np.float32)
+    scale_names = sorted([k for k in v if k.startswith("scale_")], key=lambda s: int(s.split("_")[-1]))
+    scales = np.stack([v[s] for s in scale_names], axis=1).astype(np.float32)
+    rot_names = sorted([k for k in v if k.startswith("rot_")], key=lambda s: int(s.split("_")[-1]))
+    rots = np.stack([v[s] for s in rot_names], axis=1).astype(np.float32)
 
     capacity = capacity or n
     params = GaussianParams(

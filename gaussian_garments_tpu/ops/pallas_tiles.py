@@ -1,0 +1,325 @@
+"""Pallas TPU kernel for per-tile splat compositing.
+
+This is the hot loop of the renderer — the TPU equivalent of the CUDA
+``renderCUDA`` kernel in ``diff_gaussian_rasterization_depth_alpha``
+(SURVEY.md §2.5 #1). The XLA fallback (``ops.tiled``) gathers a *fixed*
+capacity K of splats per tile, so its work is T·K·P regardless of occupancy;
+this kernel walks each tile's exact pair segment (work ∝ Σ pairs, like the
+CUDA kernel).
+
+TPU-native data layout (vector registers are 8 sublanes × 128 lanes):
+- **pixels live on sublanes** (one 16×16 tile = 256 sublanes) and **pairs on
+  lanes** (CHUNK=128 splats per inner step), so the per-chunk working set is
+  (256, 128) f32 — 32 perfectly-tiled vregs;
+- pair features are pre-gathered in XLA into a transposed ``(16, NPa)`` array
+  in (tile, depth)-sorted order with every tile's segment **128-aligned** (a
+  Mosaic DMA can only slice the minor dimension at 128 granularity); only the
+  real segments are ever DMA'd, so HBM traffic ∝ pairs;
+- the front-to-back transmittance prefix is a strictly-upper-triangular
+  (128×128) matmul on the MXU (parallel prefix instead of CUDA's serial loop);
+- color/depth accumulate as one (256×128)@(128×4)ᵀ MXU matmul per chunk;
+- chunk-granular early exit once every pixel saturates (T < 1e-4), mirroring
+  the CUDA per-pixel break.
+
+Gradients: ``rasterize_pallas`` wires a ``jax.custom_vjp`` whose backward is
+the VJP of the mathematically-identical XLA path (same masking thresholds),
+so training gets exact gradients while the forward runs at kernel speed. A
+dedicated Pallas backward kernel can replace it without changing callers.
+
+Feature rows (16, padded): [0]=mean_x [1]=mean_y [2]=conic_a [3]=conic_b
+[4]=conic_c [5]=opacity [6]=r [7]=g [8]=b [9]=view_depth [10:16]=pad.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_garments_tpu.ops.projection import ProjectedGaussians
+
+ALPHA_EPS = 1.0 / 255.0
+T_EPS = 1e-4
+ALPHA_MAX = 0.99
+TILE = 16
+PIX = TILE * TILE  # 256
+FDIM = 16
+CHUNK = 128        # pairs per inner step == lane width == segment alignment
+
+
+class PackedPairs(NamedTuple):
+    feats_t: jnp.ndarray   # (16, NPa) f32; per-tile segments 128-aligned
+    astarts: jnp.ndarray   # (T,) int32 aligned segment starts (multiples of 128)
+    counts: jnp.ndarray    # (T,) int32 real pair counts
+    n_valid: jnp.ndarray   # () int32 total real pairs (pre-truncation)
+    n_clipped: jnp.ndarray  # () int32 splats whose rect exceeded SIDE²
+
+
+def pack_pairs(
+    proj: ProjectedGaussians,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    max_tiles_side: int,
+    pair_budget: int,
+) -> PackedPairs:
+    """Binning + aligned transposed feature gather (XLA): CUDA's
+    duplicateWithKeys + radix sort + identifyTileRanges."""
+    means2d, radii, depth = proj.means2d, proj.radii, proj.depth
+    n = means2d.shape[0]
+    num_tiles = tiles_x * tiles_y
+    side = max_tiles_side
+
+    r = radii.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + TILE - 1) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + TILE - 1) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+
+    alive = radii > 0
+    n_clipped = jnp.sum((alive & (((x1 - x0) > side) | ((y1 - y0) > side))).astype(jnp.int32))
+
+    off = jnp.arange(side * side, dtype=jnp.int32)
+    tx = x0[:, None] + (off % side)[None, :]
+    ty = y0[:, None] + (off // side)[None, :]
+    pair_valid = alive[:, None] & (tx < x1[:, None]) & (ty < y1[:, None])
+    tile_id = jnp.where(pair_valid, ty * tiles_x + tx, num_tiles)
+
+    order = jnp.argsort(depth)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    splat_id = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
+    sorted_tile, _, sorted_splat = jax.lax.sort(
+        (tile_id.reshape(-1), jnp.broadcast_to(rank[:, None], tile_id.shape).reshape(-1),
+         splat_id.reshape(-1)),
+        num_keys=2,
+    )
+    n_valid = jnp.searchsorted(sorted_tile, num_tiles).astype(jnp.int32)
+
+    sorted_tile = sorted_tile[:pair_budget]
+    sorted_splat = sorted_splat[:pair_budget]
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    aligned = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)])
+    npa = pair_budget + num_tiles * CHUNK  # static upper bound
+
+    # scatter each sorted pair to its aligned slot
+    idx = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32)
+    tile_of_pair = jnp.minimum(sorted_tile, num_tiles - 1)
+    pos = astarts[tile_of_pair] + (idx - starts[tile_of_pair])
+    pos = jnp.where(sorted_tile < num_tiles, pos, npa)  # dropped if sentinel
+
+    feats = jnp.stack([
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.opacity,
+        proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
+        proj.depth,
+    ], axis=0)                                   # (10, N)
+    pair_cols = feats[:, sorted_splat]           # (10, NP)
+    feats_t = jnp.zeros((FDIM, npa), jnp.float32)
+    feats_t = feats_t.at[0:10, pos].set(pair_cols, mode="drop")
+
+    return PackedPairs(feats_t, astarts, counts, n_valid, n_clipped)
+
+
+def _composite_kernel(
+    # scalar prefetch
+    astarts_ref, counts_ref, tiles_x_ref,
+    # inputs
+    pairs_hbm,          # (16, NPa) ANY/HBM
+    # outputs
+    out_ref,            # (1, 256, 8) VMEM
+    # scratch
+    chunk_ref,          # (16, CHUNK) VMEM
+    acc_ref,            # (256, 8) VMEM
+    t_ref,              # (256, 1) VMEM
+    sem,
+):
+    i = pl.program_id(0)
+    tiles_x = tiles_x_ref[0]
+    astart = astarts_ref[i]
+    count = counts_ref[i]
+
+    ox = (jax.lax.rem(i, tiles_x) * TILE).astype(jnp.float32)
+    oy = (jax.lax.div(i, tiles_x) * TILE).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
+    py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+
+    acc_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
+    t_ref[:] = jnp.ones((PIX, 1), jnp.float32)
+
+    n_chunks = pl.cdiv(count, CHUNK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i: exclusive prefix
+
+    def body(carry):
+        k, _ = carry
+        off = pl.multiple_of(astart + k * CHUNK, CHUNK)  # segments are 128-aligned
+        dma = pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, CHUNK)], chunk_ref, sem
+        )
+        dma.start()
+        dma.wait()
+        f = chunk_ref[:]                                    # (16,CHUNK)
+        valid = (k * CHUNK + lane) < count                  # (1,CHUNK)
+
+        dx = f[0:1, :] - px                                 # (256,CHUNK)
+        dy = f[1:2, :] - py
+        power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
+        ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        log1ma = jnp.log1p(-alpha)
+        prefix = jax.lax.dot_general(
+            log1ma, u_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                   # (256,CHUNK) exclusive
+        t = t_ref[:] * jnp.exp(prefix)
+        contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
+
+        rgbd = f[6:10, :]                                   # (4,CHUNK)
+        acc4 = jax.lax.dot_general(
+            contrib, rgbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                   # (256,4)
+        acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc4
+        acc_ref[:, 4:5] = acc_ref[:, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
+
+        t_new = t_ref[:] * jnp.exp(jnp.sum(log1ma, axis=1, keepdims=True))
+        t_ref[:] = t_new
+        return k + 1, jnp.max(t_new)
+
+    def cond(carry):
+        k, tmax = carry
+        return (k < n_chunks) & (tmax >= T_EPS)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+    out_ref[0] = acc_ref[:]
+
+
+def composite_tiles_pallas(
+    pairs: PackedPairs,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the kernel over all tiles. Returns (T, 256, 8): cols 0-2 premult
+    color, 3 depth, 4 alpha."""
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((FDIM, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.VMEM((PIX, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _composite_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
+        interpret=interpret,
+    )(pairs.astarts, pairs.counts, jnp.array([tiles_x], jnp.int32), pairs.feats_t)
+
+
+def _untile(flat: jnp.ndarray, tiles_x: int, tiles_y: int, h: int, w: int) -> jnp.ndarray:
+    """(T, 256, C) -> (C, H, W); pixel p of a tile is (y=p//16, x=p%16)."""
+    c = flat.shape[-1]
+    x = flat.reshape(tiles_y, tiles_x, TILE, TILE, c)
+    x = x.transpose(4, 0, 2, 1, 3).reshape(c, tiles_y * TILE, tiles_x * TILE)
+    return x[:, :h, :w]
+
+
+def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
+             max_tiles_side, pair_budget, interpret):
+    tiles_x = -(-image_width // TILE)
+    tiles_y = -(-image_height // TILE)
+    pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
+                       max_tiles_side=max_tiles_side, pair_budget=pair_budget)
+    out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret)
+    img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
+    color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
+    image = color + (1.0 - alpha) * bg[:, None, None]
+    aux = {
+        "n_clipped": pairs.n_clipped,
+        "n_overflow": jnp.maximum(pairs.n_valid - pair_budget, 0),
+    }
+    return image, depth, alpha, aux
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _rasterize_pallas_core(proj, bg, image_height, image_width,
+                           max_tiles_side, pair_budget, interpret,
+                           vjp_tile_capacity):
+    img, depth, alpha, _ = _forward(
+        proj, bg, image_height=image_height, image_width=image_width,
+        max_tiles_side=max_tiles_side, pair_budget=pair_budget,
+        interpret=interpret)
+    return img, depth, alpha
+
+
+def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
+              pair_budget, interpret, vjp_tile_capacity):
+    out = _rasterize_pallas_core(
+        proj, bg, image_height, image_width, max_tiles_side, pair_budget,
+        interpret, vjp_tile_capacity)
+    return out, (proj, bg)
+
+
+def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
+              interpret, vjp_tile_capacity, res, g):
+    """Backward via the VJP of the mathematically-identical XLA tiled path
+    (same thresholds/masking) — exact gradients until the dedicated Pallas
+    backward kernel lands."""
+    from gaussian_garments_tpu.ops.tiled import rasterize_tiled
+    proj, bg = res
+
+    def f(proj_, bg_):
+        img, depth, alpha, _ = rasterize_tiled(
+            proj_, image_height=image_height, image_width=image_width, bg=bg_,
+            tile_size=TILE, max_tiles_side=max_tiles_side,
+            tile_capacity=vjp_tile_capacity)
+        return img, depth, alpha
+
+    _, vjp = jax.vjp(f, proj, bg)
+    return vjp(g)
+
+
+_rasterize_pallas_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rasterize_pallas(
+    proj: ProjectedGaussians,
+    *,
+    image_height: int,
+    image_width: int,
+    bg: jnp.ndarray,
+    max_tiles_side: int = 6,
+    pair_budget: int = 2_097_152,
+    interpret: bool = False,
+    vjp_tile_capacity: int = 256,
+):
+    """Drop-in for ``ops.tiled.rasterize_tiled`` (same return signature)."""
+    img, depth, alpha = _rasterize_pallas_core(
+        proj, bg, image_height, image_width, max_tiles_side, pair_budget,
+        interpret, vjp_tile_capacity)
+    aux = {"n_clipped": jnp.zeros((), jnp.int32), "n_overflow": jnp.zeros((), jnp.int32)}
+    return img, depth, alpha, aux

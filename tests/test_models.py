@@ -52,7 +52,7 @@ class TestGeometry:
         # two parallel sheets with opposed normals -> virtual edges exist
         v1, f1, _ = syn.make_cloth_template(6, 6, ripple=0.0)
         v2 = v1.copy()
-        v2[:, 2] += 0.2
+        v2[:, 2] -= 0.2  # below sheet 1: its rays (along -normal = -z) hit it
         f2 = f1[:, ::-1] + len(v1)  # flip winding so normals oppose
         v = np.concatenate([v1, v2])
         f = np.concatenate([f1, f2])

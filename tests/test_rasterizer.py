@@ -95,8 +95,8 @@ class TestTiledVsOracle:
             img, _, _ = rasterize_reference(proj, image_height=H, image_width=W, bg=bg)
             return jnp.abs(img - target).mean()
 
-        gm_t, go_t = jax.grad(loss_tiled, argnums=(0, 1))(jnp.asarray(means), jnp.asarray(opac))
-        gm_r, go_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(means), jnp.asarray(opac))
+        gm_t, go_t = jax.jit(jax.grad(loss_tiled, argnums=(0, 1)))(jnp.asarray(means), jnp.asarray(opac))
+        gm_r, go_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(jnp.asarray(means), jnp.asarray(opac))
         np.testing.assert_allclose(np.asarray(gm_t), np.asarray(gm_r), atol=1e-4, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(go_t), np.asarray(go_r), atol=1e-4, rtol=1e-3)
 
@@ -111,12 +111,13 @@ class TestTiledVsOracle:
             return img.sum()
 
         o0 = jnp.asarray(opac)
-        g = np.asarray(jax.grad(loss)(o0))
+        g = np.asarray(jax.jit(jax.grad(loss))(o0))
+        loss_j = jax.jit(loss)
         eps = 1e-3
         for i in [0, 5, 11]:
             op = np.array(opac); op[i, 0] += eps
             om = np.array(opac); om[i, 0] -= eps
-            fd = (float(loss(jnp.asarray(op))) - float(loss(jnp.asarray(om)))) / (2 * eps)
+            fd = (float(loss_j(jnp.asarray(op))) - float(loss_j(jnp.asarray(om)))) / (2 * eps)
             assert abs(fd - g[i, 0]) < 2e-2 * max(1.0, abs(fd)), (i, fd, g[i, 0])
 
 
