@@ -1,0 +1,268 @@
+"""UV-texel Gaussians — TPU-native AvatarGaussianModel / AvatarSimulationModel.
+
+Reference: ``scene/avatar_gaussian_model.py``. One Gaussian per texel inside
+the template's UV islands:
+
+- a software scanline rasterizer fills the (res×res) **bind map** with the
+  face id owning each texel (:170-225) — host precompute, cached;
+- each texel stores the barycentric coordinates of its center inside its UV
+  triangle (:59-62, via barycentric_2D), giving a 3D anchor on the deforming
+  mesh (``get_barycentric_3d`` :151-159);
+- world position = face frame · local offset · face scale + anchor
+  (:140-148); the appearance net adds Δxyz to the local offset
+  (``get_final_xyz``) and ΔSH to the features;
+- appearance initialization copies the stage-2 Template splats' attributes
+  through a nearest-neighbor lookup in world space (:69-138).
+
+All per-iteration math is jnp; the bind map and NN init are host-side
+one-time precompute like the reference.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gaussian_garments_tpu import geometry as geo
+from gaussian_garments_tpu.models import gaussian as G
+from gaussian_garments_tpu.models import mesh_gaussian as MG
+
+
+def rasterize_uv_bind_map(uvs: np.ndarray, texture_faces: np.ndarray, res: int) -> np.ndarray:
+    """(res,res) int bind map, -1 where no face covers the texel.
+
+    Scanline fill with the reference's exact pixel rule
+    (``avatar_gaussian_model.py:196-225``): pixel centers (x+.5, y+.5),
+    y ∈ [v1.y, v3.y), x ∈ [fmin, fmax); later faces overwrite earlier ones.
+    """
+    bind_map = np.full((res, res), -1, np.int64)
+    uv_px = np.asarray(uvs, np.float64) * res
+
+    for fi, tf in enumerate(np.asarray(texture_faces)):
+        tri = uv_px[tf]
+        order = np.argsort(tri[:, 1], kind="stable")
+        v1, v2, v3 = tri[order]
+        if v3[1] == v1[1]:
+            continue
+        # v4: point on edge v1-v3 at v2's height
+        t = (v2[1] - v1[1]) / (v3[1] - v1[1])
+        v4 = v1 + (v3 - v1) * t
+        ys = np.arange(int(np.floor(tri[:, 1].min())), int(np.floor(tri[:, 1].max())) + 1)
+        yc = ys + 0.5
+        ok = (yc >= v1[1]) & (yc < v3[1])
+        for _y, y in zip(ys[ok], yc[ok]):
+            if y < v2[1]:
+                a, b = v1, v2
+                c, d = v1, v4
+            else:
+                a, b = v3, v2
+                c, d = v3, v4
+            x1 = a[0] + (b[0] - a[0]) * (y - a[1]) / (b[1] - a[1]) if b[1] != a[1] else a[0]
+            x2 = c[0] + (d[0] - c[0]) * (y - c[1]) / (d[1] - c[1]) if d[1] != c[1] else c[0]
+            fmin, fmax = sorted([x1, x2])
+            xs = np.arange(int(np.floor(fmin)), int(np.floor(fmax)) + 1)
+            xc = xs + 0.5
+            xs = xs[(xc >= fmin) & (xc < fmax)]
+            if len(xs) and 0 <= _y < res:
+                xs = xs[(xs >= 0) & (xs < res)]
+                bind_map[_y, xs] = fi
+    return bind_map
+
+
+@struct.dataclass
+class AvatarBinding:
+    """Static texel→face binding (host precompute, pytree of jnp constants)."""
+
+    binding: jnp.ndarray      # (G,) int32 face ids
+    gs_bc: jnp.ndarray        # (G,3) barycentric coords of the texel center
+    flat_idx: jnp.ndarray     # (G,) int32 = gs_u*res + gs_v (row-major texel)
+    gs_u: jnp.ndarray         # (G,) int32 row (v) index
+    gs_v: jnp.ndarray         # (G,) int32 col (u) index
+    texture_size: int = struct.field(pytree_node=False, default=512)
+
+
+def build_binding(uvs: np.ndarray, texture_faces: np.ndarray, res: int,
+                  bind_map: Optional[np.ndarray] = None) -> Tuple[AvatarBinding, np.ndarray]:
+    """Bind map + barycentric anchors (reference __init__ :47-65)."""
+    if bind_map is None:
+        bind_map = rasterize_uv_bind_map(uvs, texture_faces, res)
+    mask = bind_map > -1
+    gs_u, gs_v = np.where(mask)
+    binding = bind_map[mask]
+    uv_tri = np.asarray(uvs)[np.asarray(texture_faces)][binding] * res   # (G,3,2)
+    uv_gs = np.stack([gs_v, gs_u], axis=1) + 0.5
+    a, b, c = geo.barycentric_2d(jnp.asarray(uv_tri.astype(np.float32)),
+                                 jnp.asarray(uv_gs.astype(np.float32)))
+    bc = np.stack([np.asarray(a), np.asarray(b), np.asarray(c)], axis=1)
+    bind = AvatarBinding(
+        binding=jnp.asarray(binding.astype(np.int32)),
+        gs_bc=jnp.asarray(bc.astype(np.float32)),
+        flat_idx=jnp.asarray((gs_u * res + gs_v).astype(np.int32)),
+        gs_u=jnp.asarray(gs_u.astype(np.int32)),
+        gs_v=jnp.asarray(gs_v.astype(np.int32)),
+        texture_size=res,
+    )
+    return bind, bind_map
+
+
+# ---------------------------------------------------------------------------
+# differentiable texel geometry
+# ---------------------------------------------------------------------------
+
+def barycentric_3d(bind: AvatarBinding, mesh_v: jnp.ndarray, mesh_f: jnp.ndarray) -> jnp.ndarray:
+    """3D anchor of each texel on the current mesh (reference :151-159)."""
+    tri = mesh_v[mesh_f[bind.binding]]                     # (G,3,3)
+    return jnp.einsum("gk,gkc->gc", bind.gs_bc, tri)
+
+
+def avatar_world_xyz(local_xyz: jnp.ndarray, bind: AvatarBinding,
+                     frames: MG.FaceFrames, anchor: jnp.ndarray) -> jnp.ndarray:
+    """world = R_face @ local · s_face + anchor (reference get_xyz /
+    get_final_xyz :140-148)."""
+    R = frames.orien_mat[bind.binding]
+    xyz = jnp.einsum("gij,gj->gi", R, local_xyz)
+    return xyz * frames.scaling[bind.binding][:, None] + anchor
+
+
+def local_offset(bind: AvatarBinding, frames: MG.FaceFrames, gs_3d: jnp.ndarray) -> jnp.ndarray:
+    """World anchor → local face-frame offset (reference get_local_offset)."""
+    centers = frames.center[bind.binding]
+    global_off = (gs_3d - centers) / frames.scaling[bind.binding][:, None]
+    R = frames.orien_mat[bind.binding]
+    return jnp.einsum("gji,gj->gi", R, global_off)  # Rᵀ @ offset
+
+
+def scatter_texture(bind: AvatarBinding, values: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """(G,C) texel values → (C,res,res) texture (zeros elsewhere)."""
+    res = bind.texture_size
+    flat = jnp.zeros((res * res, channels), values.dtype).at[bind.flat_idx].set(values)
+    return flat.reshape(res, res, channels).transpose(2, 0, 1)
+
+
+def gather_texture(bind: AvatarBinding, texture: jnp.ndarray) -> jnp.ndarray:
+    """(C,res,res) texture → (G,C) per-texel rows (reference
+    ``shadow_out[self.gaussian_mask]``)."""
+    res = bind.texture_size
+    flat = texture.transpose(1, 2, 0).reshape(res * res, -1)
+    return flat[bind.flat_idx]
+
+
+# ---------------------------------------------------------------------------
+# initialization from the stage-2 Template splats
+# ---------------------------------------------------------------------------
+
+def init_from_template(
+    bind: AvatarBinding,
+    template_v: np.ndarray,
+    template_f: np.ndarray,
+    world_ply_path: str,
+    local_ply_path: str,
+    max_sh_degree: int,
+) -> Tuple[G.GaussianParams, G.GaussianAux]:
+    """NN-copy splat attributes from the stage-2 Template point clouds
+    (reference init_gaussians :69-138): local xyz starts at zero; features/
+    scales/rotations/opacity come from the nearest Template splat in world
+    space."""
+    from scipy.spatial import cKDTree
+    from gaussian_garments_tpu.utils.io import read_ply
+
+    v_j = jnp.asarray(np.asarray(template_v, np.float32))
+    f_j = jnp.asarray(np.asarray(template_f, np.int64).astype(np.int32))
+    frames = MG.compute_face_frames(v_j, f_j)
+    gs_3d = np.asarray(barycentric_3d(bind, v_j, f_j))
+
+    world = read_ply(world_ply_path)
+    world_xyz = np.stack([world["x"], world["y"], world["z"]], axis=1)
+    _, nb = cKDTree(world_xyz).query(gs_3d)
+
+    local_params, _ = G.load_ply(local_ply_path, max_sh_degree)
+    take = lambda a: np.asarray(a)[nb]
+
+    n = len(gs_3d)
+    params = G.GaussianParams(
+        xyz=jnp.zeros((n, 3), jnp.float32),
+        features_dc=jnp.asarray(take(local_params.features_dc)),
+        features_rest=jnp.asarray(take(local_params.features_rest)),
+        scaling=jnp.asarray(take(local_params.scaling)),
+        rotation=jnp.asarray(take(local_params.rotation)),
+        opacity=jnp.asarray(take(local_params.opacity)),
+    )
+    aux = G.GaussianAux(
+        alive=jnp.ones((n,), bool),
+        max_radii2d=jnp.zeros((n,), jnp.float32),
+        xyz_gradient_accum=jnp.zeros((n, 1), jnp.float32),
+        denom=jnp.zeros((n, 1), jnp.float32),
+    )
+    return params, aux
+
+
+def init_empty(bind: AvatarBinding, max_sh_degree: int) -> G.GaussianParams:
+    """AvatarSimulationModel.init_empty_gaussians (:318-332): zero splats to
+    be filled from a texture checkpoint."""
+    n = bind.binding.shape[0]
+    r = (max_sh_degree + 1) ** 2 - 1
+    return G.GaussianParams(
+        xyz=jnp.zeros((n, 3), jnp.float32),
+        features_dc=jnp.zeros((n, 1, 3), jnp.float32),
+        features_rest=jnp.zeros((n, r, 3), jnp.float32),
+        scaling=jnp.zeros((n, 3), jnp.float32),
+        rotation=jnp.zeros((n, 4), jnp.float32),
+        opacity=jnp.zeros((n, 1), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# texture-space (de)serialization (AvatarSimulationModel :334-360)
+# ---------------------------------------------------------------------------
+
+def gaussian_maps(bind: AvatarBinding, params: G.GaussianParams) -> Dict[str, np.ndarray]:
+    """Pack splat attributes into (res,res,·) textures + mask."""
+    res = bind.texture_size
+    mask = np.zeros((res, res), bool)
+    mask[np.asarray(bind.gs_u), np.asarray(bind.gs_v)] = True
+    out = {"mask": mask}
+    for name in G.PARAM_NAMES:
+        val = np.asarray(getattr(params, name))
+        tex = np.zeros((res, res, *val.shape[1:]), val.dtype)
+        tex[np.asarray(bind.gs_u), np.asarray(bind.gs_v)] = val
+        out[name] = tex
+    return out
+
+
+def load_gaussian_maps(maps: Dict[str, np.ndarray]) -> G.GaussianParams:
+    mask = maps["mask"]
+    return G.GaussianParams(**{k: jnp.asarray(maps[k][mask]) for k in G.PARAM_NAMES})
+
+
+# ---------------------------------------------------------------------------
+# visibility
+# ---------------------------------------------------------------------------
+
+def get_visible_mask_exact(bind: AvatarBinding, mesh_v, mesh_f, cam_center) -> jnp.ndarray:
+    """Per-texel ray-cast visibility, the reference's semantics
+    (:227-263): visible iff the camera→anchor ray's first hit is the texel's
+    own face. O(G·F) in jnp (use for parity tests / offline)."""
+    from gaussian_garments_tpu.ops.raytrace import raycast_jnp
+
+    gs_3d = barycentric_3d(bind, mesh_v, mesh_f)
+    d = gs_3d - cam_center[None]
+    dirs = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    origins = jnp.broadcast_to(cam_center[None], gs_3d.shape)
+    _, pid = raycast_jnp(origins, dirs, mesh_v, mesh_f)
+    return pid == bind.binding
+
+
+def get_visible_mask_raster(bind: AvatarBinding, mesh_v, mesh_f, viewmatrix, projmatrix,
+                            *, image_width: int, image_height: int) -> jnp.ndarray:
+    """Fast in-jit visibility: a face-id buffer render; a texel is visible iff
+    its bound face owns ≥1 pixel. Face-granular approximation of the
+    reference's per-texel ray-cast (documented deviation; faces are ~1 texel
+    group at 512² on an 8k-face template)."""
+    from gaussian_garments_tpu.ops.mesh_raster import visible_faces
+
+    vis = visible_faces(mesh_v, mesh_f, viewmatrix, projmatrix,
+                        image_width=image_width, image_height=image_height)
+    return vis[bind.binding]

@@ -1,0 +1,148 @@
+"""Small differentiable-free mesh rasterizer (face-id + depth buffers).
+
+Replaces three external dependencies of the reference (SURVEY.md §2.5):
+- pytorch3d ``MeshRasterizer``'s ``pix_to_face`` for stage-1 scan
+  segmentation voting (``utils/parse_scan.py:49-119``);
+- aitviewer's OpenGL depth pass used for inference body/garment occlusion
+  compositing (``inference.py:469-477``);
+- open3d ray casting for per-texel visibility in stage 3
+  (``scene/avatar_gaussian_model.py:227-263``) — here as a face-id buffer +
+  lookup, a face-granular approximation that runs inside jit on TPU (the
+  exact per-texel ray-cast lives in ``ops.raytrace`` for parity checks).
+
+Design: the same sort-based tile binning as the splat rasterizer (triangles
+are "splats" whose screen rect is the triangle bbox), then per-tile nearest-
+hit point-in-triangle tests over a fixed candidate capacity. Z follows the
+perspective-correct interpolated view depth.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_garments_tpu.ops.projection import transform_point_4x3, transform_point_4x4
+from gaussian_garments_tpu.ops.tiled import bin_splats
+
+
+def project_mesh(verts: jnp.ndarray, viewmatrix: jnp.ndarray, projmatrix: jnp.ndarray,
+                 image_width: int, image_height: int):
+    """Vertices -> (pixel xy (V,2), view z (V,))."""
+    p_hom = transform_point_4x4(verts, projmatrix)
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+    mx = ((p_proj[:, 0] + 1.0) * image_width - 1.0) * 0.5
+    my = ((p_proj[:, 1] + 1.0) * image_height - 1.0) * 0.5
+    z = transform_point_4x3(verts, viewmatrix)[:, 2]
+    return jnp.stack([mx, my], axis=-1), z
+
+
+def rasterize_mesh(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    projmatrix: jnp.ndarray,
+    *,
+    image_width: int,
+    image_height: int,
+    tile_size: int = 16,
+    max_tiles_side: int = 16,
+    tile_capacity: int = 64,
+    chunk_tiles: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (pix_to_face (H,W) int32 with -1 for background,
+    depth (H,W) f32 view-space z with +inf for background)."""
+    xy, z = project_mesh(verts, viewmatrix, projmatrix, image_width, image_height)
+    tri_xy = xy[faces]                     # (F,3,2)
+    tri_z = z[faces]                       # (F,3)
+
+    center = tri_xy.mean(axis=1)
+    radius = jnp.max(jnp.linalg.norm(tri_xy - center[:, None, :], axis=-1), axis=1)
+    depth = tri_z.mean(axis=1)
+    in_front = jnp.all(tri_z > 0.01, axis=1)
+    radii = jnp.where(in_front, jnp.ceil(radius) + 1, 0).astype(jnp.int32)
+
+    tiles_x = -(-image_width // tile_size)
+    tiles_y = -(-image_height // tile_size)
+    binning = bin_splats(center, radii, depth, tiles_x=tiles_x, tiles_y=tiles_y,
+                         tile_size=tile_size, max_tiles_side=max_tiles_side,
+                         tile_capacity=tile_capacity)
+
+    num_tiles = tiles_x * tiles_y
+    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    origin = jnp.stack([(t_ids % tiles_x) * tile_size, (t_ids // tiles_x) * tile_size], axis=-1)
+
+    local = jnp.arange(tile_size * tile_size, dtype=jnp.float32)
+    lx = local % tile_size
+    ly = local // tile_size
+
+    def one_tile(idx_t, mask_t, origin_t):
+        px = origin_t[0] + lx + 0.5   # pixel centers (pytorch3d convention)
+        py = origin_t[1] + ly + 0.5
+        a = tri_xy[idx_t][:, 0]       # (K,2)
+        b = tri_xy[idx_t][:, 1]
+        c = tri_xy[idx_t][:, 2]
+        za, zb, zc = tri_z[idx_t][:, 0], tri_z[idx_t][:, 1], tri_z[idx_t][:, 2]
+
+        def edge(p0, p1):
+            return ((px[None, :] - p0[:, 0:1]) * (p1[:, 1:2] - p0[:, 1:2])
+                    - (py[None, :] - p0[:, 1:2]) * (p1[:, 0:1] - p0[:, 0:1]))
+
+        w0 = edge(b, c)               # (K,P)
+        w1 = edge(c, a)
+        w2 = edge(a, b)
+        area = ((b - a)[:, 0] * (c - a)[:, 1] - (b - a)[:, 1] * (c - a)[:, 0])[:, None]
+        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (area[:, :] > 0)) | \
+                 ((w0 <= 0) & (w1 <= 0) & (w2 <= 0) & (area[:, :] < 0))
+        area_safe = jnp.where(area == 0.0, 1.0, area)
+        l0 = w0 / area_safe
+        l1 = w1 / area_safe
+        l2 = w2 / area_safe
+        # perspective-correct view depth: 1/z interpolates linearly in screen
+        inv_z = l0 / za[:, None] + l1 / zb[:, None] + l2 / zc[:, None]
+        zpix = 1.0 / jnp.maximum(inv_z, 1e-9)
+        ok = inside & mask_t[:, None] & (area != 0.0)
+        zpix = jnp.where(ok, zpix, jnp.inf)
+        best = jnp.argmin(zpix, axis=0)                      # (P,)
+        best_z = jnp.take_along_axis(zpix, best[None], axis=0)[0]
+        best_face = idx_t[best]
+        best_face = jnp.where(jnp.isfinite(best_z), best_face, -1)
+        return best_face, best_z
+
+    pad = (-num_tiles) % chunk_tiles
+    idx = jnp.pad(binning.tile_idx, ((0, pad), (0, 0)))
+    mask = jnp.pad(binning.tile_mask, ((0, pad), (0, 0)))
+    org = jnp.pad(origin, ((0, pad), (0, 0)))
+    n_chunks = (num_tiles + pad) // chunk_tiles
+
+    def chunk_fn(args):
+        i, m, o = args
+        return jax.vmap(one_tile)(i, m, o.astype(jnp.float32))
+
+    face_t, z_t = jax.lax.map(
+        chunk_fn,
+        (idx.reshape(n_chunks, chunk_tiles, -1),
+         mask.reshape(n_chunks, chunk_tiles, -1),
+         org.reshape(n_chunks, chunk_tiles, 2)),
+    )
+
+    p = tile_size
+
+    def untile(xflat):
+        x = xflat.reshape(num_tiles + pad, p * p)[:num_tiles]
+        x = x.reshape(tiles_y, tiles_x, p, p)
+        return x.transpose(0, 2, 1, 3).reshape(tiles_y * p, tiles_x * p)[:image_height, :image_width]
+
+    return untile(face_t.reshape(-1, p * p)), untile(z_t.reshape(-1, p * p))
+
+
+def visible_faces(verts, faces, viewmatrix, projmatrix, *, image_width, image_height,
+                  **kw) -> jnp.ndarray:
+    """(F,) bool: face owns at least one pixel in the id-buffer."""
+    pix_to_face, _ = rasterize_mesh(verts, faces, viewmatrix, projmatrix,
+                                    image_width=image_width, image_height=image_height, **kw)
+    flag = jnp.zeros((faces.shape[0] + 1,), jnp.bool_)
+    flag = flag.at[jnp.where(pix_to_face >= 0, pix_to_face, faces.shape[0])].set(True)
+    return flag[:-1]
