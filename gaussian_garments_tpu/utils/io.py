@@ -88,8 +88,9 @@ _NP_TO_PLY = {"f4": "float", "f8": "double", "u1": "uchar", "i1": "char",
 
 
 def read_ply(path) -> Dict[str, np.ndarray]:
-    """Read the 'vertex' element of a PLY file (ascii or binary_little_endian)
-    into a dict of per-property arrays."""
+    """Read the 'vertex' element (and a triangular 'face' element if present)
+    of a PLY file (ascii or binary_little_endian) into a dict of per-property
+    arrays; faces are returned under key ``"faces"`` as (F,3) int64."""
     with open(path, "rb") as f:
         data = f.read()
     header_end = data.find(b"end_header\n")
@@ -101,7 +102,9 @@ def read_ply(path) -> Dict[str, np.ndarray]:
     fmt = None
     count = 0
     props = []  # (name, np dtype char) for the vertex element
-    in_vertex = False
+    face_count = 0
+    face_list_types = None  # (count dtype, index dtype)
+    section = None
     for line in header:
         toks = line.strip().split()
         if not toks:
@@ -109,22 +112,41 @@ def read_ply(path) -> Dict[str, np.ndarray]:
         if toks[0] == "format":
             fmt = toks[1]
         elif toks[0] == "element":
-            in_vertex = toks[1] == "vertex"
-            if in_vertex:
+            section = toks[1]
+            if section == "vertex":
                 count = int(toks[2])
-        elif toks[0] == "property" and in_vertex:
+            elif section == "face":
+                face_count = int(toks[2])
+        elif toks[0] == "property" and section == "vertex":
             if toks[1] == "list":
                 raise ValueError("list properties unsupported in vertex element")
             props.append((toks[2], _PLY_DTYPES[toks[1]][0]))
+        elif toks[0] == "property" and section == "face" and toks[1] == "list":
+            face_list_types = (_PLY_DTYPES[toks[2]][0], _PLY_DTYPES[toks[3]][0])
 
     if fmt == "ascii":
-        rows = np.loadtxt([l for l in body.decode("ascii").splitlines() if l.strip()][:count], ndmin=2)
-        return {name: rows[:, i].astype(dt) for i, (name, dt) in enumerate(props)}
+        lines = [l for l in body.decode("ascii").splitlines() if l.strip()]
+        rows = np.loadtxt(lines[:count], ndmin=2)
+        out = {name: rows[:, i].astype(dt) for i, (name, dt) in enumerate(props)}
+        if face_count:
+            faces = np.array([[int(x) for x in l.split()[1:4]] for l in lines[count:count + face_count]],
+                             dtype=np.int64)
+            out["faces"] = faces
+        return out
     if fmt != "binary_little_endian":
         raise ValueError(f"unsupported PLY format {fmt}")
     dtype = np.dtype([(name, "<" + dt) for name, dt in props])
     arr = np.frombuffer(body, dtype=dtype, count=count)
-    return {name: np.ascontiguousarray(arr[name]) for name, _ in props}
+    out = {name: np.ascontiguousarray(arr[name]) for name, _ in props}
+    if face_count and face_list_types is not None:
+        cdt, idt = face_list_types
+        fdtype = np.dtype([("n", "<" + cdt), ("idx", "<" + idt, 3)])
+        faces = np.frombuffer(body, dtype=fdtype, count=face_count,
+                              offset=dtype.itemsize * count)
+        if not (faces["n"] == 3).all():
+            raise ValueError("only triangular PLY faces supported")
+        out["faces"] = np.ascontiguousarray(faces["idx"]).astype(np.int64)
+    return out
 
 
 def write_ply(path, arrays: Dict[str, np.ndarray]) -> None:

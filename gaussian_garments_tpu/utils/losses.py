@@ -29,12 +29,20 @@ def l2_loss(network_output: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float):
-    gauss = jnp.array(
+def _gaussian_window_np(window_size: int, sigma: float):
+    import numpy as np
+
+    gauss = np.array(
         [math.exp(-((x - window_size // 2) ** 2) / float(2 * sigma**2)) for x in range(window_size)],
-        dtype=jnp.float32,
+        dtype=np.float32,
     )
     return gauss / gauss.sum()
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    # cache plain numpy: caching a jnp array here would leak tracers when the
+    # first call happens inside a jit trace
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray, window_size: int) -> jnp.ndarray:

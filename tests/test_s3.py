@@ -1,0 +1,174 @@
+"""Stage-3 tests: UV bind map properties, baker sanity, AvatarNet forward,
+one jitted training step + short convergence on the synthetic scene."""
+from argparse import ArgumentParser, Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_garments_tpu.config import OptimizationParams
+from gaussian_garments_tpu.data import synthetic as syn
+from gaussian_garments_tpu.data.baker import bake_textures
+from gaussian_garments_tpu.models import avatar_gaussian as AG
+from gaussian_garments_tpu.models import gaussian as G
+from gaussian_garments_tpu.models import mesh_gaussian as MG
+from gaussian_garments_tpu.models.avatar_net import AvatarNet
+from gaussian_garments_tpu.renderer import RasterConfig
+from gaussian_garments_tpu.training import s3 as S3
+
+RES = 64
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return syn.make_scene(n_cams=2, nx=8, ny=8, width=64, height=64)
+
+
+@pytest.fixture(scope="module")
+def binding(scene):
+    cams, verts, faces, uvs, colors = scene
+    bind, bind_map = AG.build_binding(uvs, faces, RES)
+    return bind, bind_map
+
+
+class TestBinding:
+    def test_bind_map_coverage(self, scene, binding):
+        cams, verts, faces, uvs, colors = scene
+        bind, bind_map = binding
+        # the synthetic sheet's UVs tile [0,1]² -> nearly every texel is bound
+        assert (bind_map > -1).mean() > 0.95
+        assert bind_map.max() < len(faces)
+
+    def test_barycentric_anchor_inside_triangle(self, scene, binding):
+        bind, _ = binding
+        bc = np.asarray(bind.gs_bc)
+        np.testing.assert_allclose(bc.sum(1), 1.0, atol=1e-4)
+        # texel centers are inside their triangles -> all coords in [0,1]
+        assert (bc > -1e-3).all() and (bc < 1 + 1e-3).all()
+
+    def test_anchor_matches_uv(self, scene, binding):
+        """The 3D anchor must correspond to the UV position: reproject through
+        a flat (z=0) sheet where (x,y) is an affine map of (u,v)."""
+        cams, verts, faces, uvs, colors = scene
+        bind, _ = binding
+        flat_v, flat_f, flat_uv = syn.make_cloth_template(8, 8, ripple=0.0)
+        anchors = np.asarray(AG.barycentric_3d(
+            bind, jnp.asarray(flat_v), jnp.asarray(flat_f.astype(np.int32))))
+        u = (np.asarray(bind.gs_v) + 0.5) / RES
+        v = (np.asarray(bind.gs_u) + 0.5) / RES
+        np.testing.assert_allclose(anchors[:, 0], u - 0.5, atol=2e-2)
+        np.testing.assert_allclose(anchors[:, 1], v - 0.5, atol=2e-2)
+
+    def test_scatter_gather_roundtrip(self, binding, rng):
+        bind, _ = binding
+        vals = jnp.asarray(rng.randn(bind.binding.shape[0], 5).astype(np.float32))
+        tex = AG.scatter_texture(bind, vals, 5)
+        back = AG.gather_texture(bind, tex)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(vals))
+
+    def test_gaussian_maps_roundtrip(self, binding, rng):
+        bind, _ = binding
+        n = bind.binding.shape[0]
+        params = G.GaussianParams(
+            xyz=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+            features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32)),
+            features_rest=jnp.asarray(rng.randn(n, 3, 3).astype(np.float32)),
+            scaling=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+            rotation=jnp.asarray(rng.randn(n, 4).astype(np.float32)),
+            opacity=jnp.asarray(rng.randn(n, 1).astype(np.float32)),
+        )
+        maps = AG.gaussian_maps(bind, params)
+        back = AG.load_gaussian_maps(maps)
+        for k in G.PARAM_NAMES:
+            np.testing.assert_allclose(np.asarray(getattr(back, k)),
+                                       np.asarray(getattr(params, k)), err_msg=k)
+
+
+class TestBaker:
+    def test_normals_and_ao(self, scene, binding):
+        cams, verts, faces, uvs, colors = scene
+        bind, _ = binding
+        amb, nrm = bake_textures(bind, verts, faces, n_samples=8)
+        assert amb.shape == (1, RES, RES) and nrm.shape == (3, RES, RES)
+        assert amb.min() >= 0 and amb.max() <= 1
+        # bound texels have unit normals (packed to [0,1])
+        gu, gv = np.asarray(bind.gs_u), np.asarray(bind.gs_v)
+        n = nrm[:, gu, gv] * 2 - 1
+        np.testing.assert_allclose(np.linalg.norm(n, axis=0), 1.0, atol=1e-4)
+        # an open rippled sheet is mostly unoccluded
+        assert amb[0, gu, gv].mean() > 0.8
+
+    def test_occluder_darkens(self, scene, binding):
+        cams, verts, faces, uvs, colors = scene
+        bind, _ = binding
+        amb0, _ = bake_textures(bind, verts, faces, n_samples=16)
+        # a big plate right above the sheet
+        pv = verts.copy(); pv[:, 2] += 0.05
+        pv[:, :2] *= 3.0
+        amb1, _ = bake_textures(bind, verts, faces, occluders=[(pv, faces)], n_samples=16)
+        assert amb1.mean() < amb0.mean() - 0.2
+
+
+def _build_state(scene, binding, rng):
+    cams, verts, faces, uvs, colors = scene
+    bind, _ = binding
+    n = bind.binding.shape[0]
+    splats = G.GaussianParams(
+        xyz=jnp.zeros((n, 3)),
+        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.1),
+        features_rest=jnp.zeros((n, 3, 3)),
+        scaling=jnp.full((n, 3), -4.5),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n, 1)),
+        opacity=jnp.full((n, 1), 2.0),
+    )
+    amb, nrm = bake_textures(bind, verts, faces, n_samples=8)
+    B = 2
+    item = S3.S3Item(
+        image=jnp.stack([c.original_image for c in cams[:B]]),
+        mask=jnp.stack([c.gt_alpha_mask for c in cams[:B]]),
+        bg=jnp.zeros((B, 3)),
+        mesh_v=jnp.tile(jnp.asarray(verts)[None], (B, 1, 1)),
+        ambient=jnp.tile(jnp.asarray(amb)[None], (B, 1, 1, 1)),
+        normal=jnp.tile(jnp.asarray(nrm)[None], (B, 1, 1, 1)),
+        world_view=jnp.stack([c.world_view_transform for c in cams[:B]]),
+        full_proj=jnp.stack([c.full_proj_transform for c in cams[:B]]),
+        campos=jnp.stack([c.camera_center for c in cams[:B]]),
+        tanfovx=jnp.asarray([c.tanfovx for c in cams[:B]]),
+        tanfovy=jnp.asarray([c.tanfovy for c in cams[:B]]),
+        width=64, height=64,
+    )
+    net = AvatarNet(texture_size=RES, sh_degree=1)
+    state = S3.init_state(net, bind, splats, verts, faces, item)
+    return net, state, item, jnp.asarray(faces.astype(np.int32))
+
+
+class TestS3Step:
+    def test_step_runs_and_converges(self, scene, binding, rng):
+        net, state, item, f32 = _build_state(scene, binding, rng)
+        parser = ArgumentParser()
+        opt = OptimizationParams(parser).extract(parser.parse_args([]))
+        args = Namespace(**{**vars(opt), "lr_init": 5e-4})
+        cfg = RasterConfig(tile_capacity=128, chunk_tiles=16)
+        bind, _ = binding
+        step = S3.make_s3_step(net, args, sh_degree=1, raster_cfg=cfg, vis_raster_hw=(64, 64))
+        state, ld0 = step(state, bind, f32, item)
+        assert np.isfinite(float(sum(ld0.values())))
+        for _ in range(15):
+            state, ld = step(state, bind, f32, item)
+        assert float(ld["img"]) < float(ld0["img"])
+
+    def test_pretrain_freezes_splats(self, scene, binding, rng):
+        net, state, item, f32 = _build_state(scene, binding, rng)
+        parser = ArgumentParser()
+        opt = OptimizationParams(parser).extract(parser.parse_args([]))
+        args = Namespace(**{**vars(opt), "lr_init": 5e-4})
+        cfg = RasterConfig(tile_capacity=128, chunk_tiles=16)
+        bind, _ = binding
+        step = S3.make_s3_step(net, args, sh_degree=1, raster_cfg=cfg,
+                               vis_raster_hw=(64, 64), train_gaussians=False)
+        p0 = state.splats
+        state, _ = step(state, bind, f32, item)
+        for k in G.PARAM_NAMES:
+            np.testing.assert_array_equal(np.asarray(getattr(state.splats, k)),
+                                          np.asarray(getattr(p0, k)))
