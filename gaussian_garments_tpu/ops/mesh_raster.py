@@ -87,8 +87,10 @@ def rasterize_mesh(
         za, zb, zc = tri_z[idx_t][:, 0], tri_z[idx_t][:, 1], tri_z[idx_t][:, 2]
 
         def edge(p0, p1):
-            return ((px[None, :] - p0[:, 0:1]) * (p1[:, 1:2] - p0[:, 1:2])
-                    - (py[None, :] - p0[:, 1:2]) * (p1[:, 0:1] - p0[:, 0:1]))
+            # E(P; p0→p1) = cross(p1-p0, P-p0): ≥0 inside CCW triangles,
+            # w0+w1+w2 = signed area
+            return ((p1[:, 0:1] - p0[:, 0:1]) * (py[None, :] - p0[:, 1:2])
+                    - (p1[:, 1:2] - p0[:, 1:2]) * (px[None, :] - p0[:, 0:1]))
 
         w0 = edge(b, c)               # (K,P)
         w1 = edge(c, a)

@@ -108,9 +108,11 @@ def pack_pairs(
     ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
     counts = ends - starts
 
-    aligned = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    # every tile gets at least one chunk so the kernel's work list visits (and
+    # zero-initializes) every output block
+    aligned = jnp.maximum(((counts + CHUNK - 1) // CHUNK) * CHUNK, CHUNK)
     astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)])
-    npa = pair_budget + num_tiles * CHUNK  # static upper bound
+    npa = pair_budget + num_tiles * CHUNK  # static upper bound (aligned_i ≤ counts_i + CHUNK)
 
     # scatter each sorted pair to its aligned slot
     idx = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32)
@@ -134,47 +136,45 @@ def pack_pairs(
 
 def _composite_kernel(
     # scalar prefetch
-    astarts_ref, counts_ref, tiles_x_ref,
-    # inputs
-    pairs_hbm,          # (16, NPa) ANY/HBM
-    # outputs
+    chunk_tile_ref,     # (W,) int32 — tile owning each work chunk
+    chunk_local_ref,    # (W,) int32 — chunk index within its tile
+    counts_ref,         # (T+1,) int32 real pair counts (row T = dummy)
+    tiles_x_ref,        # (1,) int32
+    # inputs (auto-pipelined block: this chunk's 128 pair columns)
+    chunk_in,           # (16, CHUNK) VMEM
+    # outputs (block revisited while consecutive chunks share a tile)
     out_ref,            # (1, 256, 8) VMEM
     # scratch
-    chunk_ref,          # (16, CHUNK) VMEM
-    acc_ref,            # (256, 8) VMEM
-    t_ref,              # (256, 1) VMEM
-    sem,
+    t_ref,              # (256, 1) VMEM transmittance carry
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
-    astart = astarts_ref[i]
-    count = counts_ref[i]
+    tile = chunk_tile_ref[i]
+    k = chunk_local_ref[i]
+    count = counts_ref[tile]
 
-    ox = (jax.lax.rem(i, tiles_x) * TILE).astype(jnp.float32)
-    oy = (jax.lax.div(i, tiles_x) * TILE).astype(jnp.float32)
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
-    py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+    is_first = k == 0
 
-    acc_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
-    t_ref[:] = jnp.ones((PIX, 1), jnp.float32)
+    @pl.when(is_first)
+    def _():
+        out_ref[0] = jnp.zeros((PIX, 8), jnp.float32)
+        t_ref[:] = jnp.ones((PIX, 1), jnp.float32)
 
-    n_chunks = pl.cdiv(count, CHUNK)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    # skip the math once every pixel is saturated (chunk-granular early exit;
+    # the input DMA still streams, fully overlapped by Mosaic's pipeline)
+    @pl.when(jnp.max(t_ref[:]) >= T_EPS)
+    def _():
+        ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
+        oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
+        p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+        px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
+        py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
 
-    rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i: exclusive prefix
-
-    def body(carry):
-        k, _ = carry
-        off = pl.multiple_of(astart + k * CHUNK, CHUNK)  # segments are 128-aligned
-        dma = pltpu.make_async_copy(
-            pairs_hbm.at[:, pl.ds(off, CHUNK)], chunk_ref, sem
-        )
-        dma.start()
-        dma.wait()
-        f = chunk_ref[:]                                    # (16,CHUNK)
+        f = chunk_in[:]                                     # (16,CHUNK)
         valid = (k * CHUNK + lane) < count                  # (1,CHUNK)
 
         dx = f[0:1, :] - px                                 # (256,CHUNK)
@@ -195,19 +195,9 @@ def _composite_kernel(
         acc4 = jax.lax.dot_general(
             contrib, rgbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                   # (256,4)
-        acc_ref[:, 0:4] = acc_ref[:, 0:4] + acc4
-        acc_ref[:, 4:5] = acc_ref[:, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
-
-        t_new = t_ref[:] * jnp.exp(jnp.sum(log1ma, axis=1, keepdims=True))
-        t_ref[:] = t_new
-        return k + 1, jnp.max(t_new)
-
-    def cond(carry):
-        k, tmax = carry
-        return (k < n_chunks) & (tmax >= T_EPS)
-
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
-    out_ref[0] = acc_ref[:]
+        out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
+        out_ref[0, :, 4:5] = out_ref[0, :, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
+        t_ref[:] = t_ref[:] * jnp.exp(jnp.sum(log1ma, axis=1, keepdims=True))
 
 
 def composite_tiles_pallas(
@@ -217,27 +207,42 @@ def composite_tiles_pallas(
     tiles_y: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the kernel over all tiles. Returns (T, 256, 8): cols 0-2 premult
-    color, 3 depth, 4 alpha."""
+    """Run the kernel over the flattened chunk work list (grid = one step per
+    128-pair chunk; Mosaic double-buffers the input DMA and keeps the output
+    tile block resident while consecutive chunks share a tile). Returns
+    (T, 256, 8): cols 0-2 premult color, 3 depth, 4 alpha. Empty tiles produce
+    zeros via a leading pass that zero-initializes every tile's block (the
+    work list touches every tile at least once: aligned counts are ≥0 but
+    every tile gets one chunk minimum by construction in ``pack_pairs``)."""
     num_tiles = tiles_x * tiles_y
+    npa = pairs.feats_t.shape[1]
+    w = npa // CHUNK
+
+    # map every chunk slot to (tile, local index); slots beyond a tile's
+    # aligned span belong to the *next* tile by construction of astarts
+    chunk_starts = pairs.astarts // CHUNK                      # (T,)
+    slot = jnp.arange(w, dtype=jnp.int32)
+    tile_of_chunk = jnp.searchsorted(chunk_starts, slot, side="right").astype(jnp.int32) - 1
+    tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1)
+    local_of_chunk = slot - chunk_starts[tile_of_chunk]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((FDIM, CHUNK), jnp.float32),
-            pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.VMEM((PIX, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        num_scalar_prefetch=4,
+        grid=(w,),
+        in_specs=[pl.BlockSpec((FDIM, CHUNK), lambda i, ct, cl, cnt, tx: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, ct, cl, cnt, tx: (ct[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
+    counts_pad = jnp.concatenate([pairs.counts, jnp.zeros((1,), jnp.int32)])
     return pl.pallas_call(
         _composite_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
         interpret=interpret,
-    )(pairs.astarts, pairs.counts, jnp.array([tiles_x], jnp.int32), pairs.feats_t)
+    )(tile_of_chunk, local_of_chunk, counts_pad, jnp.array([tiles_x], jnp.int32),
+      pairs.feats_t)
 
 
 def _untile(flat: jnp.ndarray, tiles_x: int, tiles_y: int, h: int, w: int) -> jnp.ndarray:

@@ -1,0 +1,82 @@
+"""Inference driver — render simulated garment trajectories to novel-view
+video.
+
+Same CLI surface and trajectory contract as the reference ``inference.py``
+(README.md:120-132): a ContourCraft pkl with ``pred``, ``cloth_faces``,
+``obstacle``, ``obstacle_faces``, ``garment_names``. Per frame: drive each
+garment's texel Gaussians by the simulated mesh, run the appearance net,
+composite the splat render over a shaded body render with depth-correct
+occlusion, and write PNG rows (final shs | raw features | style output) like
+the reference's triple render (inference.py:480-488).
+"""
+import json
+import os
+import sys
+from argparse import ArgumentParser
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from gaussian_garments_tpu.config import DEFAULTS
+    from gaussian_garments_tpu.doll import (Simulation, body_mask_and_image,
+                                            composite, concat_bundle)
+    from gaussian_garments_tpu.renderer import RasterConfig, render
+    from gaussian_garments_tpu.utils.camera import camera_from_json_params
+    from gaussian_garments_tpu.utils.io import save_image
+
+    parser = ArgumentParser(description="Inference parameters")
+    parser.add_argument("--traj_path", type=str, required=True)
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--camera", type=str, default=None,
+                        help="camera name from stage-1 cameras.json (default: first)")
+    parser.add_argument("--sh_degree", type=int, default=3)
+    parser.add_argument("--texture_size", type=int, default=512)
+    parser.add_argument("--width", type=int, default=940)
+    parser.add_argument("--height", type=int, default=1280)
+    parser.add_argument("--hq", action="store_true", help="3004x4092 output")
+    parser.add_argument("--white_background", action="store_true")
+    args = parser.parse_args(sys.argv[1:])
+
+    if args.hq:
+        args.width, args.height = 3004, 4092
+
+    simu = Simulation(args.traj_path, args.output_path,
+                      sh_degree=args.sh_degree, texture_size=args.texture_size)
+
+    cam_json = Path(DEFAULTS.output_root) / simu.garment_names[0] / DEFAULTS.stage1 / "cameras.json"
+    cam_params = json.load(open(cam_json))
+    cam_name = args.camera or sorted(cam_params.keys())[0]
+    camera = camera_from_json_params(cam_params[cam_name], h=args.height, w=args.width)
+
+    bg = jnp.asarray([1.0, 1, 1] if args.white_background else [0.0, 0, 0])
+    cfg = RasterConfig()
+    out_dir = Path(args.output_path) / "renders"
+    os.makedirs(out_dir, exist_ok=True)
+
+    for idx in range(len(simu)):
+        updates, vis = simu.forward(idx, camera)
+        body_v = jnp.asarray(np.asarray(simu.pkl["obstacle"][idx], np.float32))
+        body_f = jnp.asarray(np.asarray(simu.pkl["obstacle_faces"], np.int64).astype(np.int32))
+        body_mask, body_image = body_mask_and_image(
+            body_v, body_f,
+            [u["mesh_v"] for u in updates], [u["mesh_f"] for u in updates], camera)
+
+        panels = []
+        for key in ("shs", "raw_shs", "style"):
+            bundle = concat_bundle(updates, vis, args.sh_degree, override=key)
+            out = render(camera, bundle, bg, config=cfg)
+            panel = composite(out["render"], out["alpha"][0], body_image, body_mask)
+            panels.append(panel)
+        row = np.concatenate([np.asarray(p).transpose(1, 2, 0) for p in panels], axis=1)
+        save_image(out_dir / f"{idx:05d}.png", row)
+        print(f"[{idx+1}/{len(simu)}] rendered")
+
+    print("Inference complete.")
+
+
+if __name__ == "__main__":
+    main()

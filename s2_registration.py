@@ -1,0 +1,226 @@
+"""Stage 2 — garment registration (mesh tracking) driver.
+
+Same CLI surface and output layout as the reference ``s2_registration.py``:
+template mode (``-tf`` set) runs one frame with
+``first_frame_iterations + ff_collision_iteration`` two-phase optimization;
+sequence mode tracks every frame with warm starts. Per-frame artifacts:
+``point_cloud/frame_%05d/{local_point_cloud.ply, point_cloud.ply}`` +
+``binding.pkl``, ``meshes/frame_%05d.obj``, ``cameras.json``, ``cfg_args``.
+
+TPU redesign: the inner loop is the jitted step of
+``gaussian_garments_tpu.training.s2`` with a k-camera batch per step
+(``--cameras_per_step``, default 1 to match the reference's sampling), sharded
+over all local devices when more than one is present.
+"""
+import os
+import random
+import sys
+from argparse import ArgumentParser, Namespace
+from pathlib import Path
+
+import numpy as np
+
+
+def prepare_output_and_logger(args):
+    os.makedirs(args.subject_out, exist_ok=True)
+    stage2 = Path(args.subject_out) / "stage2" / args.sequence
+    os.makedirs(stage2, exist_ok=True)
+    with open(stage2 / "cfg_args", "w") as f:
+        f.write(str(Namespace(**vars(args))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_garments_tpu.config import DEFAULTS, ModelParams, OptimizationParams, PipelineParams
+    from gaussian_garments_tpu.data.readers import FrameDataloader
+    from gaussian_garments_tpu.models import gaussian as G
+    from gaussian_garments_tpu.models import mesh_gaussian as MG
+    from gaussian_garments_tpu.models import mesh_model as MM
+    from gaussian_garments_tpu.renderer import BatchedCameras, RasterConfig
+    from gaussian_garments_tpu.scene import CrossScene, Scene
+    from gaussian_garments_tpu.training import s2 as S2
+    from gaussian_garments_tpu.utils.general import get_expon_lr_func
+    from gaussian_garments_tpu.utils.io import read_obj, fetch_ply, store_ply
+
+    parser = ArgumentParser(description="Training script parameters")
+    lp = ModelParams(parser)
+    op = OptimizationParams(parser)
+    pp = PipelineParams(parser)
+
+    parser.add_argument("-s", "--subject", type=str, required=True, default="")
+    parser.add_argument("-so", "--subject_out", type=str, default="")
+    parser.add_argument("-t", "--template_seq", type=str, default="")
+    parser.add_argument("-q", "--sequence", type=str, required=True, default="")
+    parser.add_argument("-tf", "--template_frame", type=int, default=None)
+    parser.add_argument("--first_frame_iterations", type=int, default=10000)
+    parser.add_argument("--first_frame_iterations_cross", type=int, default=15000)
+    parser.add_argument("--other_frame_iterations", type=int, default=5000)
+    parser.add_argument("--collision_iteration", type=int, default=2000)
+    parser.add_argument("--ff_collision_iteration", type=int, default=2000)
+    parser.add_argument("--start_from", type=int, default=-1)
+    parser.add_argument("--use_icp", action="store_true")
+    parser.add_argument("--camera", default="PINHOLE", type=str)
+    # TPU additions (do not change reference semantics at defaults)
+    parser.add_argument("--cameras_per_step", type=int, default=1)
+    args = parser.parse_args(sys.argv[1:])
+
+    args.sh_degree = 0      # reference hard-override (s2_registration.py:158)
+    args.debug = False
+    if len(args.subject_out) == 0:
+        args.subject_out = args.subject
+    args.subject_out = Path(DEFAULTS.output_root) / args.subject_out
+
+    args.is_template = args.template_frame is not None
+    args.is_template_seq = args.is_template
+    if not args.is_template_seq:
+        args.first_frame_iterations = args.first_frame_iterations_cross
+        args.cross_from = Path(DEFAULTS.output_root) / args.subject_out / DEFAULTS.stage2 / args.template_seq
+
+    prepare_output_and_logger(args)
+    opt = op.extract(args)
+
+    dataloader = FrameDataloader(args)
+
+    # template mesh + dense point cloud colors (mesh_gaussian_model.py:48-72)
+    template_path = Path(args.subject_out) / DEFAULTS.stage1 / "template_uv.obj"
+    tem = read_obj(template_path)
+    pc_path = Path(args.subject_out) / DEFAULTS.stage1 / "point_cloud.ply"
+    centers = tem["vertices"][tem["faces"]].mean(1)
+    if pc_path.exists():
+        from scipy.spatial import cKDTree
+        pc = fetch_ply(pc_path)
+        _, nb = cKDTree(pc.points).query(centers)
+        colors = pc.colors[nb]
+    else:
+        colors = np.full((len(centers), 3), 0.5, np.float32)
+    stage2_path = Path(args.subject_out) / DEFAULTS.stage2 / args.sequence
+    os.makedirs(stage2_path, exist_ok=True)
+    store_ply(stage2_path / "input.ply", centers, colors * 255)
+
+    # SMPL-X hand vertex exclusion list (mesh_gaussian_model.py:76-78)
+    hand_list = np.zeros(0, np.int64)
+    hand_json = Path(DEFAULTS.aux_root) / "smplx" / "smplx_vert_segmentation.json"
+    if hand_json.exists():
+        import json
+        seg = json.load(open(hand_json))
+        hand_list = np.array([v for k, verts in seg.items() for v in verts if "hand" in k.lower()])
+
+    scene_cls = Scene if args.is_template else CrossScene
+    scene = scene_cls(args, dataloader, hand_list)
+
+    mesh = MM.create(tem["vertices"], tem["faces"])
+    cfg = RasterConfig()
+    bg_color = jnp.asarray([1.0, 1, 1] if args.white_background else [0.0, 0, 0])
+
+    frames_iterator = range(len(dataloader)) if not args.is_template else [args.template_frame]
+    rng = random.Random(0)
+
+    binding_counter = np.ones(len(tem["faces"]), np.int32)
+    state = None
+
+    for t in frames_iterator:
+        if args.start_from > 0 and t < args.start_from:
+            continue
+        is_ff = (t == 0) or args.is_template
+        collision_iteration = args.ff_collision_iteration if is_ff else args.collision_iteration
+        iterations = (args.first_frame_iterations + collision_iteration) if is_ff \
+            else args.other_frame_iterations
+
+        train_cams, _ = scene.prepare_frame_cameras(t)
+
+        if is_ff and args.is_template_seq:
+            params, aux, binding, binding_counter = MG.create_from_template(
+                tem["vertices"], tem["faces"], colors, max_sh_degree=args.sh_degree)
+            state = S2.init_state(params, aux, binding, mesh)
+            scene.save_cam = True
+            from gaussian_garments_tpu.scene import store_cam
+            store_cam(dataloader.cam_info, stage2_path)
+            state = state.replace(mesh=scene.setup_body(state.mesh, t))
+        else:
+            # sequence mode: reload Template gaussians every frame (cross_scene.py:67-70)
+            tmpl_ply = Path(args.subject_out) / DEFAULTS.stage2 / "Template" / "local_point_cloud.ply"
+            params, aux = G.load_ply(str(tmpl_ply), args.sh_degree)
+            import pickle
+            with open(tmpl_ply.parent / "binding.pkl", "rb") as f:
+                binding = np.asarray(pickle.load(f))
+            if state is None:
+                state = S2.init_state(params, aux, binding, mesh)
+            else:
+                state = S2.init_state(params, aux, binding, state.mesh)
+            if not is_ff:
+                state = state.replace(mesh=scene.warm_start(state.mesh, t))
+                state = state.replace(mesh=scene.setup_body(state.mesh, t, bind_frame=t - 1))
+            else:
+                state = state.replace(mesh=scene.setup_body(state.mesh, t))
+
+        spatial_lr_scale = scene.cameras_extent
+        xyz_sched = get_expon_lr_func(
+            lr_init=opt.position_lr_init * spatial_lr_scale,
+            lr_final=opt.position_lr_final * spatial_lr_scale,
+            lr_delay_mult=opt.position_lr_delay_mult,
+            max_steps=opt.position_lr_max_steps)
+        vert_lr = opt.position_lr_init * spatial_lr_scale
+
+        b = args.cameras_per_step
+        steps = {}
+
+        def get_step(mode, use_body):
+            key = (mode, use_body, state.params.xyz.shape[0])
+            if key not in steps:
+                steps[key] = S2.make_s2_step(opt, mode=mode, use_body=use_body,
+                                             active_sh_degree=0, raster_cfg=cfg)
+            return steps[key]
+
+        viewpoint_stack = []
+        it = 0
+        while it < iterations:
+            it += 1
+            use_body = it > iterations - collision_iteration
+            if args.is_template_seq:
+                mode = "template_p2" if (is_ff and use_body) else "template_p1"
+            else:
+                mode = "seq"
+            if not viewpoint_stack:
+                viewpoint_stack = list(train_cams)
+            picked = []
+            for _ in range(min(b, len(viewpoint_stack))):
+                picked.append(viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1)))
+            batch = BatchedCameras.from_cameras(picked)
+            bg = jnp.asarray(np.random.rand(3).astype(np.float32)) if opt.random_background else bg_color
+
+            step = get_step(mode, use_body)
+            xyz_lr = float(xyz_sched(it)) if (args.is_template_seq and is_ff) else \
+                opt.position_lr_init * spatial_lr_scale
+            state, loss_dict, metrics = step(state, batch, bg, xyz_lr, vert_lr)
+
+            # densify / prune / opacity reset (template phase 1 only)
+            if args.is_template_seq and is_ff and not use_body:
+                if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                    size_threshold = 20 if it > opt.opacity_reset_interval else None
+                    state, binding_counter, stats = S2.densify_and_prune_state(
+                        state, opt, scene.cameras_extent, size_threshold, binding_counter)
+                if it % opt.opacity_reset_interval == 0 or \
+                        (args.white_background and it == opt.densify_from_iter):
+                    state = S2.reset_opacity_state(state)
+
+            if it % 500 == 0 or it == iterations:
+                print(f"[frame {t} iter {it}/{iterations}] "
+                      + " ".join(f"{k}={float(v):.5f}" for k, v in loss_dict.items()))
+
+        # save artifacts
+        frames = MG.compute_face_frames(state.mesh.v, state.mesh.f)
+        scene.save(t, state.params, state.aux, np.asarray(state.binding), frames,
+                   template=args.is_template)
+        scene.save_mesh(t, tem, np.asarray(state.mesh.v))
+        xyz = np.asarray(MG.world_xyz(state.params, state.binding, frames))
+        rot = np.asarray(MG.world_rotation(state.params, state.binding, frames))
+        scene.post_each_frame(is_ff, xyz, rot, tem["vertices"], tem["faces"],
+                              np.asarray(state.binding))
+
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Stage 3 — appearance training driver.
+
+Same CLI surface and output layout as the reference ``s3_appearance.py``
+(flags :51-73, forced overrides :81-86: epochs=5, eval/shuffle/random_bg/
+blur_mask=True, seed 31359): epoch loop over all (sequence, frame, camera)
+items training AvatarNet + the splat appearance, checkpointing to
+``stage3/ckpt`` every ``--save_iterations`` and per epoch.
+
+TPU redesign: items are grouped into batches of ``--items_per_step`` and fed
+to the jitted step of ``gaussian_garments_tpu.training.s3`` (shard over the
+device mesh when more than one chip is present).
+"""
+import os
+import sys
+from argparse import ArgumentParser, Namespace
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_garments_tpu.config import DEFAULTS, OptimizationParams, PipelineParams
+    from gaussian_garments_tpu.data.readers import AvatarDataset
+    from gaussian_garments_tpu.models import avatar_gaussian as AG
+    from gaussian_garments_tpu.models.avatar_net import AvatarNet
+    from gaussian_garments_tpu.renderer import RasterConfig
+    from gaussian_garments_tpu.training import s3 as S3
+    from gaussian_garments_tpu.training.checkpoints import has_s3_ckpt, load_s3_ckpt, save_s3_ckpt
+    from gaussian_garments_tpu.utils.io import read_obj
+
+    parser = ArgumentParser(description="Training script parameters")
+    op = OptimizationParams(parser)
+    pp = PipelineParams(parser)
+    parser.add_argument("-s", "--subject", type=str, required=True, default="")
+    parser.add_argument("-so", "--subject_out", type=str, default="")
+    parser.add_argument("--ckpt_path", type=str, default="")
+    parser.add_argument("--sh_degree", type=int, default=3)
+    parser.add_argument("--texture_size", type=int, default=512)
+    parser.add_argument("--texture_margin", type=int, default=5)
+    parser.add_argument("--white_background", action="store_true", default=False)
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--save_iterations", type=int, default=3000)
+    parser.add_argument("--pre_train_iterations", type=int, default=3000)
+    parser.add_argument("--lr_init", type=float, default=5e-4)
+    parser.add_argument("--shuffle", action="store_true")
+    parser.add_argument("--random_bg", action="store_true")
+    parser.add_argument("--blur_mask", action="store_true")
+    parser.add_argument("--llffhold", type=int, default=12)
+    parser.add_argument("--items_per_step", type=int, default=1)
+    args = parser.parse_args(sys.argv[1:])
+
+    if len(args.subject_out) == 0:
+        args.subject_out = args.subject
+    args.subject_out = Path(DEFAULTS.output_root) / args.subject_out
+    stage3_path = Path(args.subject_out) / DEFAULTS.stage3
+
+    # reference hard-overrides (s3_appearance.py:81-90)
+    args.debug = False
+    args.epochs = 5
+    args.eval = True
+    args.shuffle = True
+    args.random_bg = True
+    args.blur_mask = True
+    np.random.seed(31359)
+
+    opt = op.extract(args)
+    run_args = Namespace(**{**vars(opt), "lr_init": args.lr_init,
+                            "only_foreground_loss": opt.only_foreground_loss})
+
+    # UV binding + dataset
+    template = read_obj(Path(args.subject_out) / DEFAULTS.stage1 / "template_uv.obj")
+    bind, _ = AG.build_binding(template["uvs"], template["texture_faces"], args.texture_size)
+    dataset = AvatarDataset(args, bind=bind)
+    mesh_f = jnp.asarray(np.asarray(template["faces"], np.int64).astype(np.int32))
+
+    # splats from the stage-2 Template (avatar_gaussian_model.py:69-138)
+    tmpl_pc = Path(args.subject_out) / DEFAULTS.stage2 / "Template"
+    splats, _ = AG.init_from_template(
+        bind, template["vertices"], template["faces"],
+        str(tmpl_pc / "point_cloud.ply"), str(tmpl_pc / "local_point_cloud.ply"),
+        args.sh_degree)
+
+    net = AvatarNet(texture_size=args.texture_size, sh_degree=args.sh_degree)
+
+    def make_item(batch):
+        cams = [b["camera"] for b in batch]
+        return S3.S3Item(
+            image=jnp.stack([c.original_image for c in cams]),
+            mask=jnp.stack([c.gt_alpha_mask for c in cams]),
+            bg=jnp.stack([jnp.asarray(b["bg"]) for b in batch]),
+            mesh_v=jnp.stack([jnp.asarray(b["mesh_v"]) for b in batch]),
+            ambient=jnp.stack([jnp.asarray(b["ambient"]) for b in batch]),
+            normal=jnp.stack([jnp.asarray(b["normal"]) for b in batch]),
+            world_view=jnp.stack([c.world_view_transform for c in cams]),
+            full_proj=jnp.stack([c.full_proj_transform for c in cams]),
+            campos=jnp.stack([c.camera_center for c in cams]),
+            tanfovx=jnp.asarray([c.tanfovx for c in cams]),
+            tanfovy=jnp.asarray([c.tanfovy for c in cams]),
+            width=cams[0].image_width, height=cams[0].image_height,
+        )
+
+    first = make_item([dataset[0]])
+    state = S3.init_state(net, bind, splats, template["vertices"], template["faces"], first)
+
+    start_epoch = 1
+    ckpt_dir = args.ckpt_path or stage3_path
+    if has_s3_ckpt(ckpt_dir):
+        ck = load_s3_ckpt(ckpt_dir)
+        state = state.replace(net_params=ck["net_params"],
+                              net_buffers=ck["net_buffers"], splats=ck["splats"])
+        start_epoch = ck["epoch"] + 1
+        print(f"Resumed from epoch {ck['epoch']}")
+
+    cfg = RasterConfig()
+    step_pre = S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
+                               raster_cfg=cfg, train_gaussians=False)
+    step_full = S3.make_s3_step(net, run_args, sh_degree=args.sh_degree, raster_cfg=cfg)
+
+    b = args.items_per_step
+    for epoch in range(start_epoch, args.epochs + 1):
+        for it in range(0, len(dataset), b):
+            batch = [dataset[j] for j in range(it, min(it + b, len(dataset)))]
+            item = make_item(batch)
+            pretrain = epoch == 1 and it < args.pre_train_iterations
+            step = step_pre if pretrain else step_full
+            state, loss_dict = step(state, bind, mesh_f, item)
+            if it % 100 == 0:
+                print(f"[epoch {epoch} iter {it}/{len(dataset)}] "
+                      + " ".join(f"{k}={float(v):.5f}" for k, v in loss_dict.items()))
+            if it > 0 and it % args.save_iterations == 0:
+                save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
+        save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
+
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
