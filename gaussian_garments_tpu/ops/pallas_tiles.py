@@ -7,19 +7,22 @@ capacity K of splats per tile, so its work is T·K·P regardless of occupancy;
 this kernel walks each tile's exact pair segment (work ∝ Σ pairs, like the
 CUDA kernel).
 
-TPU-native data layout (vector registers are 8 sublanes × 128 lanes):
+Design (vector registers are 8 sublanes × 128 lanes):
 - **pixels live on sublanes** (one 16×16 tile = 256 sublanes) and **pairs on
-  lanes** (CHUNK=128 splats per inner step), so the per-chunk working set is
-  (256, 128) f32 — 32 perfectly-tiled vregs;
-- pair features are pre-gathered in XLA into a transposed ``(16, NPa)`` array
-  in (tile, depth)-sorted order with every tile's segment **128-aligned** (a
-  Mosaic DMA can only slice the minor dimension at 128 granularity); only the
-  real segments are ever DMA'd, so HBM traffic ∝ pairs;
+  lanes** (CHUNK=128 splats per step), so the per-step working set is
+  (256, 128) f32 — perfectly tiled vregs;
+- pair features are gathered once in XLA into a transposed ``(16, NP)`` array
+  in (tile, depth)-sorted **pair space** (no per-tile alignment padding);
+- the grid is a flattened **work-item list**: one item per (tile, 128-pair
+  chunk) overlap. A chunk that spans a tile boundary simply appears as the
+  last item of one tile and the first item of the next, with complementary
+  lane masks — Mosaic double-buffers the input block DMA and keeps the output
+  tile block resident while consecutive items share a tile;
 - the front-to-back transmittance prefix is a strictly-upper-triangular
   (128×128) matmul on the MXU (parallel prefix instead of CUDA's serial loop);
-- color/depth accumulate as one (256×128)@(128×4)ᵀ MXU matmul per chunk;
-- chunk-granular early exit once every pixel saturates (T < 1e-4), mirroring
-  the CUDA per-pixel break.
+- color/depth accumulate as one (256×128)@(128×4)ᵀ MXU matmul per step;
+- item-granular early exit once every pixel saturates (T < 1e-4), mirroring
+  the CUDA per-pixel break (the DMA still streams, fully overlapped).
 
 Gradients: ``rasterize_pallas`` wires a ``jax.custom_vjp`` whose backward is
 the VJP of the mathematically-identical XLA path (same masking thresholds),
@@ -48,15 +51,18 @@ ALPHA_MAX = 0.99
 TILE = 16
 PIX = TILE * TILE  # 256
 FDIM = 16
-CHUNK = 128        # pairs per inner step == lane width == segment alignment
+CHUNK = 128        # pairs per work item == lane width
 
 
 class PackedPairs(NamedTuple):
-    feats_t: jnp.ndarray   # (16, NPa) f32; per-tile segments 128-aligned
-    astarts: jnp.ndarray   # (T,) int32 aligned segment starts (multiples of 128)
-    counts: jnp.ndarray    # (T,) int32 real pair counts
-    n_valid: jnp.ndarray   # () int32 total real pairs (pre-truncation)
-    n_clipped: jnp.ndarray  # () int32 splats whose rect exceeded SIDE²
+    feats_t: jnp.ndarray       # (16, NP+CHUNK) f32, (tile,depth)-sorted pair space
+    starts: jnp.ndarray        # (T+1,) int32 segment starts (+ guard row)
+    counts: jnp.ndarray        # (T+1,) int32 real pair counts (+ 0 guard)
+    chunk_of_item: jnp.ndarray  # (W,) int32 input block per work item
+    tile_of_item: jnp.ndarray   # (W,) int32 output tile per work item
+    k_of_item: jnp.ndarray      # (W,) int32 item index within its tile
+    n_valid: jnp.ndarray       # () int32 total real pairs (pre-truncation)
+    n_clipped: jnp.ndarray     # () int32 splats whose rect exceeded SIDE²
 
 
 def pack_pairs(
@@ -67,7 +73,7 @@ def pack_pairs(
     max_tiles_side: int,
     pair_budget: int,
 ) -> PackedPairs:
-    """Binning + aligned transposed feature gather (XLA): CUDA's
+    """Binning + pair-space feature gather + work-item tables (XLA): CUDA's
     duplicateWithKeys + radix sort + identifyTileRanges."""
     means2d, radii, depth = proj.means2d, proj.radii, proj.depth
     n = means2d.shape[0]
@@ -92,76 +98,86 @@ def pack_pairs(
     order = jnp.argsort(depth)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
-    splat_id = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
-    sorted_tile, _, sorted_splat = jax.lax.sort(
-        (tile_id.reshape(-1), jnp.broadcast_to(rank[:, None], tile_id.shape).reshape(-1),
-         splat_id.reshape(-1)),
-        num_keys=2,
-    )
+    if n <= (1 << 18) and num_tiles < (1 << 13):
+        # fused single int32 key: tile in the top 13 bits, depth rank below
+        key = (tile_id << 18) | rank[:, None]
+        sorted_key = jax.lax.sort(key.reshape(-1))
+        sorted_tile = (sorted_key >> 18).astype(jnp.int32)
+        sorted_splat = order[sorted_key & ((1 << 18) - 1)]
+    else:
+        splat_id = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
+        sorted_tile, _, sorted_splat = jax.lax.sort(
+            (tile_id.reshape(-1), jnp.broadcast_to(rank[:, None], tile_id.shape).reshape(-1),
+             splat_id.reshape(-1)),
+            num_keys=2,
+        )
     n_valid = jnp.searchsorted(sorted_tile, num_tiles).astype(jnp.int32)
 
     sorted_tile = sorted_tile[:pair_budget]
     sorted_splat = sorted_splat[:pair_budget]
 
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
-    counts = ends - starts
+    # per-tile [start, start+count): one-hot scatter + cumsum (searchsorted
+    # lowers to a serial scan — ~300ms at this size)
+    counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[sorted_tile].add(1)[:num_tiles]
+    starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
-    # every tile gets at least one chunk so the kernel's work list visits (and
-    # zero-initializes) every output block
-    aligned = jnp.maximum(((counts + CHUNK - 1) // CHUNK) * CHUNK, CHUNK)
-    astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)])
-    npa = pair_budget + num_tiles * CHUNK  # static upper bound (aligned_i ≤ counts_i + CHUNK)
+    # ---- work-item tables (pair-space chunks; a boundary chunk appears once
+    # per overlapping tile with complementary lane masks) ----
+    ends = starts + counts
+    n_items = jnp.where(counts > 0, (ends - 1) // CHUNK - starts // CHUNK + 1, 1)
+    item_starts = (jnp.cumsum(n_items) - n_items).astype(jnp.int32)
+    w_cap = pair_budget // CHUNK + num_tiles
+    boundary = jnp.zeros((w_cap,), jnp.int32).at[item_starts].add(1)
+    tile_of_item = jnp.clip(jnp.cumsum(boundary).astype(jnp.int32) - 1, 0, num_tiles - 1)
+    k_of_item = jnp.arange(w_cap, dtype=jnp.int32) - item_starts[tile_of_item]
+    chunk_of_item = starts[tile_of_item] // CHUNK + k_of_item
+    chunk_of_item = jnp.clip(chunk_of_item, 0, (pair_budget + CHUNK) // CHUNK - 1)
 
-    # scatter each sorted pair to its aligned slot
-    idx = jnp.arange(sorted_tile.shape[0], dtype=jnp.int32)
-    tile_of_pair = jnp.minimum(sorted_tile, num_tiles - 1)
-    pos = astarts[tile_of_pair] + (idx - starts[tile_of_pair])
-    pos = jnp.where(sorted_tile < num_tiles, pos, npa)  # dropped if sentinel
-
-    feats = jnp.stack([
+    # ---- pair-space feature gather ----
+    zrow = jnp.zeros((n,))
+    feats_cols = jnp.stack([
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.opacity,
         proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
         proj.depth,
-    ], axis=0)                                   # (10, N)
-    pair_cols = feats[:, sorted_splat]           # (10, NP)
-    feats_t = jnp.zeros((FDIM, npa), jnp.float32)
-    feats_t = feats_t.at[0:10, pos].set(pair_cols, mode="drop")
+        zrow, zrow, zrow, zrow, zrow, zrow,
+    ], axis=0)                                          # (16, N)
+    feats_t = jnp.take(feats_cols, sorted_splat, axis=1)
+    feats_t = jnp.pad(feats_t, ((0, 0), (0, CHUNK)))    # guard block
 
-    return PackedPairs(feats_t, astarts, counts, n_valid, n_clipped)
+    return PackedPairs(
+        feats_t,
+        jnp.concatenate([starts, jnp.zeros((1,), jnp.int32)]),
+        jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)]),
+        chunk_of_item, tile_of_item, k_of_item, n_valid, n_clipped)
 
 
 def _composite_kernel(
     # scalar prefetch
-    chunk_tile_ref,     # (W,) int32 — tile owning each work chunk
-    chunk_local_ref,    # (W,) int32 — chunk index within its tile
-    counts_ref,         # (T+1,) int32 real pair counts (row T = dummy)
-    tiles_x_ref,        # (1,) int32
-    # inputs (auto-pipelined block: this chunk's 128 pair columns)
-    chunk_in,           # (16, CHUNK) VMEM
-    # outputs (block revisited while consecutive chunks share a tile)
+    chunk_ref, tile_ref, k_ref, starts_ref, counts_ref, tiles_x_ref,
+    # inputs (auto-pipelined (16, CHUNK) block of this item's chunk)
+    chunk_in,
+    # outputs (block revisited while consecutive items share a tile)
     out_ref,            # (1, 256, 8) VMEM
     # scratch
     t_ref,              # (256, 1) VMEM transmittance carry
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
-    tile = chunk_tile_ref[i]
-    k = chunk_local_ref[i]
+    tile = tile_ref[i]
+    k = k_ref[i]
+    start = starts_ref[tile]
     count = counts_ref[tile]
+    chunk = chunk_ref[i]
 
-    is_first = k == 0
-
-    @pl.when(is_first)
+    @pl.when(k == 0)
     def _():
         out_ref[0] = jnp.zeros((PIX, 8), jnp.float32)
         t_ref[:] = jnp.ones((PIX, 1), jnp.float32)
 
-    # skip the math once every pixel is saturated (chunk-granular early exit;
-    # the input DMA still streams, fully overlapped by Mosaic's pipeline)
+    # skip the math once every pixel is saturated (the input DMA still
+    # streams, fully overlapped by Mosaic's pipeline)
     @pl.when(jnp.max(t_ref[:]) >= T_EPS)
     def _():
         ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
@@ -175,7 +191,8 @@ def _composite_kernel(
         u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
 
         f = chunk_in[:]                                     # (16,CHUNK)
-        valid = (k * CHUNK + lane) < count                  # (1,CHUNK)
+        pair_idx = chunk * CHUNK + lane                     # global pair ids
+        valid = (pair_idx >= start) & (pair_idx < start + count)
 
         dx = f[0:1, :] - px                                 # (256,CHUNK)
         dy = f[1:2, :] - py
@@ -207,41 +224,27 @@ def composite_tiles_pallas(
     tiles_y: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the kernel over the flattened chunk work list (grid = one step per
-    128-pair chunk; Mosaic double-buffers the input DMA and keeps the output
-    tile block resident while consecutive chunks share a tile). Returns
-    (T, 256, 8): cols 0-2 premult color, 3 depth, 4 alpha. Empty tiles produce
-    zeros via a leading pass that zero-initializes every tile's block (the
-    work list touches every tile at least once: aligned counts are ≥0 but
-    every tile gets one chunk minimum by construction in ``pack_pairs``)."""
+    """Run the kernel over the work-item list. Returns (T, 256, 8): cols 0-2
+    premult color, 3 depth, 4 alpha."""
     num_tiles = tiles_x * tiles_y
-    npa = pairs.feats_t.shape[1]
-    w = npa // CHUNK
-
-    # map every chunk slot to (tile, local index); slots beyond a tile's
-    # aligned span belong to the *next* tile by construction of astarts
-    chunk_starts = pairs.astarts // CHUNK                      # (T,)
-    slot = jnp.arange(w, dtype=jnp.int32)
-    tile_of_chunk = jnp.searchsorted(chunk_starts, slot, side="right").astype(jnp.int32) - 1
-    tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1)
-    local_of_chunk = slot - chunk_starts[tile_of_chunk]
+    w = pairs.chunk_of_item.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(w,),
-        in_specs=[pl.BlockSpec((FDIM, CHUNK), lambda i, ct, cl, cnt, tx: (0, i),
+        in_specs=[pl.BlockSpec((FDIM, CHUNK), lambda i, ch, tl, kk, st, cn, tx: (0, ch[i]),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, ct, cl, cnt, tx: (ct[i], 0, 0),
+        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, ch, tl, kk, st, cn, tx: (tl[i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
-    counts_pad = jnp.concatenate([pairs.counts, jnp.zeros((1,), jnp.int32)])
     return pl.pallas_call(
         _composite_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
         interpret=interpret,
-    )(tile_of_chunk, local_of_chunk, counts_pad, jnp.array([tiles_x], jnp.int32),
+    )(pairs.chunk_of_item, pairs.tile_of_item, pairs.k_of_item,
+      pairs.starts, pairs.counts, jnp.array([tiles_x], jnp.int32),
       pairs.feats_t)
 
 

@@ -43,13 +43,49 @@ class SplatBundle:
 
 @struct.dataclass
 class RasterConfig:
-    """Static rasterizer knobs (pytree aux data)."""
+    """Static rasterizer knobs (pytree aux data).
+
+    backend: "auto" (Pallas kernel on TPU, XLA tiled path elsewhere),
+    "pallas", "tiled", or "reference" (exact per-pixel oracle)."""
 
     tile_size: int = struct.field(pytree_node=False, default=16)
     max_tiles_side: int = struct.field(pytree_node=False, default=6)
     tile_capacity: int = struct.field(pytree_node=False, default=256)
     chunk_tiles: int = struct.field(pytree_node=False, default=64)
     use_reference: bool = struct.field(pytree_node=False, default=False)
+    backend: str = struct.field(pytree_node=False, default="auto")
+    pair_budget: int = struct.field(pytree_node=False, default=2_097_152)
+
+
+def _resolve_backend(config: RasterConfig) -> str:
+    if config.use_reference:
+        return "reference"
+    if config.backend != "auto":
+        return config.backend
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+
+def _rasterize(proj, *, image_height, image_width, bg, config: RasterConfig):
+    backend = _resolve_backend(config)
+    if backend == "reference":
+        image, depth, alpha = rasterize_reference(
+            proj, image_height=image_height, image_width=image_width, bg=bg)
+        import jax.numpy as jnp_
+        aux = {"n_clipped": jnp_.zeros((), jnp_.int32), "n_overflow": jnp_.zeros((), jnp_.int32)}
+        return image, depth, alpha, aux
+    if backend == "pallas":
+        from gaussian_garments_tpu.ops.pallas_tiles import rasterize_pallas
+
+        return rasterize_pallas(
+            proj, image_height=image_height, image_width=image_width, bg=bg,
+            max_tiles_side=config.max_tiles_side, pair_budget=config.pair_budget,
+            vjp_tile_capacity=config.tile_capacity)
+    return rasterize_tiled(
+        proj, image_height=image_height, image_width=image_width, bg=bg,
+        tile_size=config.tile_size, max_tiles_side=config.max_tiles_side,
+        tile_capacity=config.tile_capacity, chunk_tiles=config.chunk_tiles)
 
 
 @struct.dataclass
@@ -117,16 +153,8 @@ def render_batch(
             opacities=opac, sh_degree=bundle.active_sh_degree,
             scaling_modifier=scaling_modifier, screen_offset=off,
         )
-        if config.use_reference:
-            image, depth, alpha = rasterize_reference(
-                proj, image_height=cams.height, image_width=cams.width, bg=bg_color)
-            aux = {"n_clipped": jnp.zeros((), jnp.int32), "n_overflow": jnp.zeros((), jnp.int32)}
-        else:
-            image, depth, alpha, aux = rasterize_tiled(
-                proj, image_height=cams.height, image_width=cams.width, bg=bg_color,
-                tile_size=config.tile_size, max_tiles_side=config.max_tiles_side,
-                tile_capacity=config.tile_capacity, chunk_tiles=config.chunk_tiles,
-            )
+        image, depth, alpha, aux = _rasterize(
+            proj, image_height=cams.height, image_width=cams.width, bg=bg_color, config=config)
         return image, depth, alpha, proj.radii, aux
 
     if screen_offset is None:
@@ -185,22 +213,9 @@ def render(
         screen_offset=screen_offset,
     )
 
-    if config.use_reference:
-        image, depth, alpha = rasterize_reference(
-            proj, image_height=camera.image_height, image_width=camera.image_width, bg=bg_color
-        )
-        aux = {"n_clipped": jnp.zeros((), jnp.int32), "n_overflow": jnp.zeros((), jnp.int32)}
-    else:
-        image, depth, alpha, aux = rasterize_tiled(
-            proj,
-            image_height=camera.image_height,
-            image_width=camera.image_width,
-            bg=bg_color,
-            tile_size=config.tile_size,
-            max_tiles_side=config.max_tiles_side,
-            tile_capacity=config.tile_capacity,
-            chunk_tiles=config.chunk_tiles,
-        )
+    image, depth, alpha, aux = _rasterize(
+        proj, image_height=camera.image_height, image_width=camera.image_width,
+        bg=bg_color, config=config)
 
     return {
         "render": image,
