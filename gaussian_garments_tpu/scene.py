@@ -205,7 +205,43 @@ class Scene:
 class CrossScene(Scene):
     """Cross-sequence scene (reference crossScene): reloads the Template
     gaussians every frame; optional sparse-ICP global alignment of the first
-    frame is delegated to ``stages.s1`` COLMAP tooling when requested."""
+    frame via a throwaway sparse COLMAP run (cross_scene.py:145-187)."""
 
     def template_ply(self) -> Path:
         return Path(self.subject_out) / DEFAULTS.stage2 / "Template" / "local_point_cloud.ply"
+
+    @staticmethod
+    def _clean_cloud(points: np.ndarray) -> np.ndarray:
+        """binary_to_o3d preprocessing (cross_scene.py:177-187): voxel
+        downsample + radius outlier removal."""
+        from gaussian_garments_tpu.ops.icp import remove_radius_outliers, voxel_downsample
+
+        return remove_radius_outliers(voxel_downsample(points, 0.005), nb_points=5, radius=0.05)
+
+    def sparse_icp(self, template_vertices: np.ndarray, camera_model: str = "PINHOLE") -> np.ndarray:
+        """Globally align the template to this sequence's first frame by ICP
+        between the stage-1 sparse cloud and a fresh sparse COLMAP
+        reconstruction (cross_scene.py:145-175). Returns transformed verts."""
+        import shutil
+
+        from gaussian_garments_tpu.ops.icp import registration_icp, transform_points
+        from gaussian_garments_tpu.stages.s1 import colmap_recon, prepare_dataset
+        from gaussian_garments_tpu.utils.colmap import read_points3D_binary
+
+        stage1 = Path(self.subject_out) / DEFAULTS.stage1
+        stage2_seq = self.stage2_path()
+        src_xyz, _, _ = read_points3D_binary(stage1 / "sparse" / "points3D.bin")
+        source = self._clean_cloud(src_xyz)
+
+        source_root = Path(DEFAULTS.data_root) / self.args.subject / self.args.sequence
+        target_root = stage2_seq / "colmap"
+        remove_folder = not target_root.exists()
+        prepare_dataset(source_root, target_root, camera_model)
+        colmap_recon(target_root, skip_dense=True)
+        tgt_xyz, _, _ = read_points3D_binary(target_root / "sparse" / "points3D.bin")
+        target = self._clean_cloud(tgt_xyz)
+
+        T = registration_icp(source, target, 10.0)
+        if remove_folder:
+            shutil.rmtree(target_root)
+        return transform_points(np.asarray(template_vertices, np.float64), T).astype(np.float32)

@@ -1,0 +1,104 @@
+"""Observability: structured per-step scalar logging, step timing, and debug
+render panels.
+
+The reference's only observability is tqdm postfix dicts with cumulative
+average losses (``s2_registration.py:65-78``, ``s3_appearance.py:39-47``) and
+side-by-side debug renders the README instructs humans to inspect
+(SURVEY.md §4-§5). Here:
+
+- ``MetricLogger``: running averages like the reference's ``logger`` plus an
+  append-only JSONL stream (loss terms, splat count, radii stats, timings) —
+  machine-checkable instead of eyeball-only;
+- ``StepTimer``: wall-clock per-phase timing (the reference creates CUDA
+  events but never reads them — s2_registration.py:203-204,237,307);
+- ``debug_panel``: the stage-2 saver's GT | penalized mask | render |
+  abs-diff panel (s2_registration.py:98-122) from our renderer's outputs;
+- ``trace``: context manager around ``jax.profiler`` for TPU traces.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class MetricLogger:
+    def __init__(self, jsonl_path: Optional[str] = None):
+        self.sums: Dict[str, float] = {}
+        self.count = 0
+        self.jsonl_path = jsonl_path
+        if jsonl_path:
+            os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+            self._f = open(jsonl_path, "a")
+        else:
+            self._f = None
+
+    def log(self, step: int, scalars: Dict[str, float], **extra):
+        vals = {k: float(v) for k, v in scalars.items()}
+        self.count += 1
+        for k, v in vals.items():
+            self.sums[k] = self.sums.get(k, 0.0) + v
+        if self._f is not None:
+            rec = {"step": int(step), **vals, **{k: float(v) for k, v in extra.items()},
+                   "time": time.time()}
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        return self.averages()
+
+    def averages(self) -> Dict[str, float]:
+        """Cumulative averages — the reference's tqdm postfix semantics."""
+        return {k: v / max(self.count, 1) for k, v in self.sums.items()}
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+
+
+class StepTimer:
+    """Per-phase wall timing with exponential smoothing."""
+
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.avg: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        self.avg[name] = dt if name not in self.avg else \
+            (1 - self.alpha) * self.avg[name] + self.alpha * dt
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, enabled: bool = True):
+    """jax.profiler trace around a block (view with TensorBoard/XProf)."""
+    if not enabled:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def debug_panel(gt_image: np.ndarray, penalized_mask: np.ndarray,
+                render: np.ndarray, path: Optional[str] = None) -> np.ndarray:
+    """GT | penalized mask | render | abs-diff row panel
+    (s2_registration.py:98-122). Inputs (3,H,W)/(1,H,W) in [0,1]."""
+    gt = np.asarray(gt_image).transpose(1, 2, 0)
+    rd = np.clip(np.asarray(render), 0, 1).transpose(1, 2, 0)
+    mask = np.repeat(np.asarray(penalized_mask).transpose(1, 2, 0), 3, axis=2)
+    diff = np.abs(gt - rd)
+    panel = np.concatenate([gt, mask, rd, diff], axis=1)
+    if path is not None:
+        from gaussian_garments_tpu.utils.io import save_image
+        save_image(path, (panel * 255).astype(np.uint8))
+    return panel
