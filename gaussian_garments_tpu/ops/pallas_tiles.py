@@ -176,36 +176,43 @@ def _composite_kernel(
         out_ref[0] = jnp.zeros((PIX, 8), jnp.float32)
         t_ref[:] = jnp.ones((PIX, 1), jnp.float32)
 
-    # skip the math once every pixel is saturated (the input DMA still
-    # streams, fully overlapped by Mosaic's pipeline)
-    @pl.when(jnp.max(t_ref[:]) >= T_EPS)
+    ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
+    oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
+    py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    f = chunk_in[:]                                     # (16,CHUNK)
+    pair_idx = chunk * CHUNK + lane                     # global pair ids
+    valid = (pair_idx >= start) & (pair_idx < start + count)
+
+    dx = f[0:1, :] - px                                 # (256,CHUNK)
+    dy = f[1:2, :] - py
+    power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
+    ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
+    alpha = jnp.where(ok, alpha, 0.0)
+    log1ma = jnp.log1p(-alpha)
+
+    # the transmittance carry ALWAYS advances (even for saturated pixels) so
+    # the backward pass can reconstruct T exactly from the final value
+    t_in = t_ref[:]
+    t_ref[:] = t_in * jnp.exp(jnp.sum(log1ma, axis=1, keepdims=True))
+    out_ref[0, :, 5:6] = t_ref[:]   # T_final residual for the backward kernel
+
+    # skip the accumulation matmuls once every pixel is saturated (the gating
+    # makes their contribution exactly zero; the DMA still streams)
+    @pl.when(jnp.max(t_in) >= T_EPS)
     def _():
-        ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
-        oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
-        p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-        px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
-        py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
         u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
 
-        f = chunk_in[:]                                     # (16,CHUNK)
-        pair_idx = chunk * CHUNK + lane                     # global pair ids
-        valid = (pair_idx >= start) & (pair_idx < start + count)
-
-        dx = f[0:1, :] - px                                 # (256,CHUNK)
-        dy = f[1:2, :] - py
-        power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
-        ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
-        alpha = jnp.where(ok, alpha, 0.0)
-
-        log1ma = jnp.log1p(-alpha)
         prefix = jax.lax.dot_general(
             log1ma, u_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                   # (256,CHUNK) exclusive
-        t = t_ref[:] * jnp.exp(prefix)
+        t = t_in * jnp.exp(prefix)
         contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
 
         rgbd = f[6:10, :]                                   # (4,CHUNK)
@@ -214,7 +221,6 @@ def _composite_kernel(
         )                                                   # (256,4)
         out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
         out_ref[0, :, 4:5] = out_ref[0, :, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
-        t_ref[:] = t_ref[:] * jnp.exp(jnp.sum(log1ma, axis=1, keepdims=True))
 
 
 def composite_tiles_pallas(

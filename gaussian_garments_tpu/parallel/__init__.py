@@ -53,4 +53,4 @@ def data_parallel_step(step_fn, mesh: Mesh, *, batched_argnums=(1,)):
     in_specs = tuple(
         P("data") if i in batched_argnums else P() for i in range(step_fn.__code__.co_argcount)
     )
-    return shard_map(step_fn, mesh=mesh, in_specs=in_specs, out_specs=P(), check_rep=False)
+    return shard_map(step_fn, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False)

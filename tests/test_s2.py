@@ -106,7 +106,7 @@ class TestSharded:
             stepn, mesh=mesh,
             in_specs=(P(), P("data"), P(), P(), P()),
             out_specs=(P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         ))
         s_shard, ld_shard, m_shard = sharded(state, batch, bg, 1.6e-3, 1.6e-3)
 
