@@ -47,6 +47,7 @@ from gaussian_garments_tpu.ops.projection import ProjectedGaussians
 
 ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1e-4
+LOG_T_EPS = float(np.log(1e-4))
 ALPHA_MAX = 0.99
 TILE = 16
 PIX = TILE * TILE  # 256
@@ -61,6 +62,7 @@ class PackedPairs(NamedTuple):
     chunk_of_item: jnp.ndarray  # (W,) int32 input block per work item
     tile_of_item: jnp.ndarray   # (W,) int32 output tile per work item
     k_of_item: jnp.ndarray      # (W,) int32 item index within its tile
+    sorted_splat: jnp.ndarray  # (NP,) int32 original splat per sorted pair
     n_valid: jnp.ndarray       # () int32 total real pairs (pre-truncation)
     n_clipped: jnp.ndarray     # () int32 splats whose rect exceeded SIDE²
 
@@ -126,12 +128,20 @@ def pack_pairs(
     ends = starts + counts
     n_items = jnp.where(counts > 0, (ends - 1) // CHUNK - starts // CHUNK + 1, 1)
     item_starts = (jnp.cumsum(n_items) - n_items).astype(jnp.int32)
-    w_cap = pair_budget // CHUNK + num_tiles
+    np_real = sorted_splat.shape[0]                       # = min(budget, N·side²)
+    n_blocks = -(-np_real // CHUNK) + 1                   # + guard block
+    w_cap = np_real // CHUNK + num_tiles
     boundary = jnp.zeros((w_cap,), jnp.int32).at[item_starts].add(1)
     tile_of_item = jnp.clip(jnp.cumsum(boundary).astype(jnp.int32) - 1, 0, num_tiles - 1)
     k_of_item = jnp.arange(w_cap, dtype=jnp.int32) - item_starts[tile_of_item]
     chunk_of_item = starts[tile_of_item] // CHUNK + k_of_item
-    chunk_of_item = jnp.clip(chunk_of_item, 0, (pair_budget + CHUNK) // CHUNK - 1)
+    # trailing padding items read the zeroed guard block (their pair ids lie
+    # beyond every segment, so their masks are empty and contributions zero)
+    total_items = item_starts[-1] + n_items[-1]
+    item_valid = jnp.arange(w_cap, dtype=jnp.int32) < total_items
+    chunk_of_item = jnp.where(item_valid,
+                              jnp.clip(chunk_of_item, 0, n_blocks - 1),
+                              n_blocks - 1)
 
     # ---- pair-space feature gather ----
     zrow = jnp.zeros((n,))
@@ -144,13 +154,14 @@ def pack_pairs(
         zrow, zrow, zrow, zrow, zrow, zrow,
     ], axis=0)                                          # (16, N)
     feats_t = jnp.take(feats_cols, sorted_splat, axis=1)
-    feats_t = jnp.pad(feats_t, ((0, 0), (0, CHUNK)))    # guard block
+    # pad to exactly n_blocks·CHUNK columns: the last block is a zero guard
+    feats_t = jnp.pad(feats_t, ((0, 0), (0, n_blocks * CHUNK - np_real)))
 
     return PackedPairs(
         feats_t,
         jnp.concatenate([starts, jnp.zeros((1,), jnp.int32)]),
         jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)]),
-        chunk_of_item, tile_of_item, k_of_item, n_valid, n_clipped)
+        chunk_of_item, tile_of_item, k_of_item, sorted_splat, n_valid, n_clipped)
 
 
 def _composite_kernel(
@@ -174,7 +185,7 @@ def _composite_kernel(
     @pl.when(k == 0)
     def _():
         out_ref[0] = jnp.zeros((PIX, 8), jnp.float32)
-        t_ref[:] = jnp.ones((PIX, 1), jnp.float32)
+        t_ref[:] = jnp.zeros((PIX, 1), jnp.float32)   # log-transmittance
 
     ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
     oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
@@ -195,15 +206,15 @@ def _composite_kernel(
     alpha = jnp.where(ok, alpha, 0.0)
     log1ma = jnp.log1p(-alpha)
 
-    # the transmittance carry ALWAYS advances (even for saturated pixels) so
-    # the backward pass can reconstruct T exactly from the final value
-    t_in = t_ref[:]
-    t_ref[:] = t_in * jnp.exp(jnp.sum(log1ma, axis=1, keepdims=True))
-    out_ref[0, :, 5:6] = t_ref[:]   # T_final residual for the backward kernel
+    # the log-transmittance carry ALWAYS advances (even for saturated pixels)
+    # so the backward pass can reconstruct T exactly from the final value
+    logt_in = t_ref[:]
+    t_ref[:] = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
+    out_ref[0, :, 5:6] = t_ref[:]   # log T_final residual for the backward
 
     # skip the accumulation matmuls once every pixel is saturated (the gating
     # makes their contribution exactly zero; the DMA still streams)
-    @pl.when(jnp.max(t_in) >= T_EPS)
+    @pl.when(jnp.max(logt_in) >= LOG_T_EPS)
     def _():
         rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
@@ -212,7 +223,8 @@ def _composite_kernel(
         prefix = jax.lax.dot_general(
             log1ma, u_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                                   # (256,CHUNK) exclusive
-        t = t_in * jnp.exp(prefix)
+        logt = logt_in + prefix
+        t = jnp.exp(logt)
         contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
 
         rgbd = f[6:10, :]                                   # (4,CHUNK)
@@ -262,6 +274,178 @@ def _untile(flat: jnp.ndarray, tiles_x: int, tiles_y: int, h: int, w: int) -> jn
     return x[:, :h, :w]
 
 
+def _tile_img(img: jnp.ndarray, tiles_x: int, tiles_y: int) -> jnp.ndarray:
+    """(C, H, W) -> (T, 256, C): inverse of _untile (pads to tile multiples)."""
+    c, h, w = img.shape
+    x = jnp.pad(img, ((0, 0), (0, tiles_y * TILE - h), (0, tiles_x * TILE - w)))
+    x = x.reshape(c, tiles_y, TILE, tiles_x, TILE)
+    return x.transpose(1, 3, 2, 4, 0).reshape(tiles_y * tiles_x, PIX, c)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: back-to-front re-traversal with suffix sums (the analytic
+# gradient structure of the CUDA renderCUDA backward, as parallel prefix ops)
+# ---------------------------------------------------------------------------
+
+def _backward_kernel(
+    # scalar prefetch (all in REVERSED item order)
+    rchunk_ref, rtile_ref, rk_ref, first_chunk_visit_ref,
+    starts_ref, counts_ref, n_items_ref, tiles_x_ref,
+    # inputs
+    chunk_in,           # (16, CHUNK) feature block at rchunk[i]
+    cot_in,             # (1, 256, 8) cotangent block at rtile[i]:
+                        # rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha', 5 T_final
+    # outputs
+    grad_ref,           # (16, CHUNK) pair-gradient block at rchunk[i]
+    # scratch
+    t_ref,              # (256,1) transmittance, reconstructed back-to-front
+    s_ref,              # (256,1) suffix Σ_{j>i} G_j w_j
+):
+    i = pl.program_id(0)
+    tiles_x = tiles_x_ref[0]
+    tile = rtile_ref[i]
+    rk = rk_ref[i]
+    start = starts_ref[tile]
+    count = counts_ref[tile]
+    chunk = rchunk_ref[i]
+
+    cot = cot_in[0]                       # (256, 8)
+
+    @pl.when(rk == 0)                     # first item of this tile (reverse order)
+    def _():
+        t_ref[:] = cot[:, 5:6]            # log T_final from the forward pass
+        s_ref[:] = jnp.zeros((PIX, 1), jnp.float32)
+
+    @pl.when(first_chunk_visit_ref[i] == 1)
+    def _():
+        grad_ref[:] = jnp.zeros((FDIM, CHUNK), jnp.float32)
+
+    ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
+    oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)
+    py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    f = chunk_in[:]
+    pair_idx = chunk * CHUNK + lane
+    valid = (pair_idx >= start) & (pair_idx < start + count)
+
+    # recompute forward quantities for this chunk
+    dx = f[0:1, :] - px
+    dy = f[1:2, :] - py
+    power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
+    ep = jnp.exp(power)
+    raw = f[5:6, :] * ep
+    capped = raw > ALPHA_MAX
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
+    alpha = jnp.where(ok, alpha, 0.0)
+    log1ma = jnp.log1p(-alpha)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    u_suf_incl = (rr >= cc).astype(jnp.float32)   # M[j,i]=1 iff j>=i
+    u_suf_excl = (rr > cc).astype(jnp.float32)    # M[j,i]=1 iff j>i
+
+    # log T before pair i = log T_after_chunk − Σ_{j>=i,in chunk} log(1-α_j)
+    # (log space: the positive exponent would overflow f32 through saturated
+    # regions where Σ log1ma ≈ −600)
+    suf_incl = jax.lax.dot_general(
+        log1ma, u_suf_incl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    logt_i = t_ref[:] - suf_incl                  # (256,CHUNK)
+    t_i = jnp.exp(logt_i)
+    gate = (t_i >= T_EPS).astype(jnp.float32)
+
+    # sensitivity to the blend weight w_i: G = ĝC·c + ĝD·d + ĝA
+    rgbd = f[6:10, :]                             # (4,CHUNK)
+    g_sens = jax.lax.dot_general(
+        cot[:, 0:4], rgbd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + cot[:, 4:5]                               # (256,CHUNK)
+
+    w = gate * alpha * t_i
+    gw = g_sens * w
+
+    suf_gw = jax.lax.dot_general(
+        gw, u_suf_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    s_i = s_ref[:] + suf_gw                       # Σ_{j>i} G_j w_j
+
+    d_alpha = gate * t_i * g_sens - s_i / (1.0 - alpha)
+    d_alpha = jnp.where(ok, d_alpha, 0.0)
+    d_alpha_un = jnp.where(capped, 0.0, d_alpha)  # min(0.99,·) gate
+    d_pow = d_alpha_un * alpha                    # dα/dpower = α (uncapped)
+
+    # sanitize the geometric factors: culled splats carry non-finite projected
+    # means (w→0 division) and 0·inf would poison the reductions
+    dxs = jnp.where(ok, dx, 0.0)
+    dys = jnp.where(ok, dy, 0.0)
+    eps_ok = jnp.where(ok & jnp.logical_not(capped), ep, 0.0)
+
+    # per-pair reductions over pixels
+    dmx = jnp.sum(d_pow * (-(f[2:3, :] * dxs + f[3:4, :] * dys)), axis=0, keepdims=True)
+    dmy = jnp.sum(d_pow * (-(f[4:5, :] * dys + f[3:4, :] * dxs)), axis=0, keepdims=True)
+    dca = jnp.sum(d_pow * (-0.5 * dxs * dxs), axis=0, keepdims=True)
+    dcb = jnp.sum(d_pow * (-dxs * dys), axis=0, keepdims=True)
+    dcc_ = jnp.sum(d_pow * (-0.5 * dys * dys), axis=0, keepdims=True)
+    dop = jnp.sum(d_alpha_un * eps_ok, axis=0, keepdims=True)
+    grads4 = jax.lax.dot_general(
+        cot[:, 0:4], w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                             # (4,CHUNK): dr,dg,db,dd
+
+    add = jnp.concatenate([
+        dmx, dmy, dca, dcb, dcc_, dop, grads4,
+        jnp.zeros((6, CHUNK), jnp.float32)], axis=0)
+    grad_ref[:] = grad_ref[:] + add
+
+    # carries for the next (earlier) chunk
+    s_ref[:] = s_ref[:] + jnp.sum(gw, axis=1, keepdims=True)
+    t_ref[:] = t_ref[:] - jnp.sum(log1ma, axis=1, keepdims=True)
+
+
+def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
+                          tiles_x: int, tiles_y: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Run the backward kernel over the REVERSED work-item list.
+
+    cot_tiles: (T, 256, 8) with rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
+    5 T_final. Returns pair gradients (16, NP+CHUNK) with rows
+    [dmx,dmy,dA,dB,dC,dopacity,dr,dg,db,ddepth, 0...].
+    """
+    num_tiles = tiles_x * tiles_y
+    w = pairs.chunk_of_item.shape[0]
+
+    rchunk = pairs.chunk_of_item[::-1]
+    rtile = pairs.tile_of_item[::-1]
+    # reverse-local index within the tile: 0 = the tile's LAST forward item
+    n_items_of_tile = jnp.zeros((num_tiles + 1,), jnp.int32).at[pairs.tile_of_item].add(1)
+    rk = n_items_of_tile[rtile] - 1 - pairs.k_of_item[::-1]
+    first_visit = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (rchunk[1:] != rchunk[:-1]).astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32), pltpu.VMEM((PIX, 1), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _backward_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pairs.feats_t.shape, jnp.float32),
+        interpret=interpret,
+    )(rchunk, rtile, rk, first_visit,
+      pairs.starts, pairs.counts, n_items_of_tile, jnp.array([tiles_x], jnp.int32),
+      pairs.feats_t, cot_tiles)
+
+
 def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
              max_tiles_side, pair_budget, interpret):
     tiles_x = -(-image_width // TILE)
@@ -292,29 +476,64 @@ def _rasterize_pallas_core(proj, bg, image_height, image_width,
 
 def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
               pair_budget, interpret, vjp_tile_capacity):
-    out = _rasterize_pallas_core(
-        proj, bg, image_height, image_width, max_tiles_side, pair_budget,
-        interpret, vjp_tile_capacity)
-    return out, (proj, bg)
+    tiles_x = -(-image_width // TILE)
+    tiles_y = -(-image_height // TILE)
+    pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
+                       max_tiles_side=max_tiles_side, pair_budget=pair_budget)
+    out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y,
+                                 interpret=interpret)
+    img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
+    color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
+    image = color + (1.0 - alpha) * bg[:, None, None]
+    t_final = out[:, :, 5:6]                    # (T,256,1) backward residual
+    return (image, depth, alpha), (proj, bg, t_final, alpha)
 
 
 def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
               interpret, vjp_tile_capacity, res, g):
-    """Backward via the VJP of the mathematically-identical XLA tiled path
-    (same thresholds/masking) — exact gradients until the dedicated Pallas
-    backward kernel lands."""
-    from gaussian_garments_tpu.ops.tiled import rasterize_tiled
-    proj, bg = res
+    """Dedicated Pallas backward: back-to-front suffix re-traversal over the
+    same work-item list (analytic gradients matching the forward's gating)."""
+    proj, bg, t_final, alpha_img = res
+    g_img, g_depth, g_alpha = g
 
-    def f(proj_, bg_):
-        img, depth, alpha, _ = rasterize_tiled(
-            proj_, image_height=image_height, image_width=image_width, bg=bg_,
-            tile_size=TILE, max_tiles_side=max_tiles_side,
-            tile_capacity=vjp_tile_capacity)
-        return img, depth, alpha
+    tiles_x = -(-image_width // TILE)
+    tiles_y = -(-image_height // TILE)
 
-    _, vjp = jax.vjp(f, proj, bg)
-    return vjp(g)
+    # image = premult_color + (1-alpha)·bg  ⇒  ĝcolor = ĝimg,
+    # ĝalpha' = ĝalpha − Σ_c ĝimg_c bg_c,  ĝbg = Σ_pix ĝimg (1-alpha)
+    g_alpha_eff = g_alpha[0] - jnp.einsum("c,chw->hw", bg, g_img)
+    d_bg = jnp.einsum("chw,hw->c", g_img, 1.0 - alpha_img[0])
+
+    cot_img = jnp.concatenate([g_img, g_depth, g_alpha_eff[None]], axis=0)  # (5,H,W)
+    cot_tiles = jnp.concatenate([
+        _tile_img(cot_img, tiles_x, tiles_y),       # (T,256,5)
+        t_final,                                     # (T,256,1)
+        jnp.zeros((tiles_x * tiles_y, PIX, 2)),
+    ], axis=-1)
+
+    pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
+                       max_tiles_side=max_tiles_side, pair_budget=pair_budget)
+    pair_grads = backward_tiles_pallas(pairs, cot_tiles, tiles_x=tiles_x,
+                                       tiles_y=tiles_y, interpret=interpret)
+
+    n = proj.means2d.shape[0]
+    np_real = pairs.sorted_splat.shape[0]          # = min(pair_budget, N·side²)
+    data = pair_grads[0:10, :np_real].T            # (NP,10)
+    # pairs beyond the real segments live in never-visited (uninitialized)
+    # gradient blocks — route them to a discard segment
+    total_pairs = jnp.sum(pairs.counts)
+    ids = jnp.where(jnp.arange(np_real) < total_pairs, pairs.sorted_splat, n)
+    seg = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
+
+    ct_proj = ProjectedGaussians(
+        means2d=seg[:, 0:2],
+        conic=seg[:, 2:5],
+        depth=seg[:, 9],
+        radii=np.zeros(proj.radii.shape, jax.dtypes.float0),
+        rgb=seg[:, 6:9],
+        opacity=seg[:, 5],
+    )
+    return ct_proj, d_bg
 
 
 _rasterize_pallas_core.defvjp(_core_fwd, _core_bwd)
