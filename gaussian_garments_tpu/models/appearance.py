@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -50,3 +51,28 @@ class AppearanceNet(nn.Module):
         for h in self.hidden:
             x = nn.relu(nn.Dense(h)(x))
         return nn.Dense(self.out_dim)(x)
+
+
+class ConvUNet(nn.Module):
+    """Small conv UNet (reference :99-179; defined-but-unused, kept for
+    parity). NCHW in/out."""
+
+    out_ch: int = 3
+    base: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        def conv(x, c, stride=1):
+            x = jnp.transpose(x, (0, 2, 3, 1))
+            x = nn.Conv(c, (3, 3), strides=(stride, stride))(x)
+            return jnp.transpose(x, (0, 3, 1, 2))
+
+        e1 = nn.relu(conv(x, self.base))
+        e2 = nn.relu(conv(e1, self.base * 2, stride=2))
+        e3 = nn.relu(conv(e2, self.base * 4, stride=2))
+        d2 = jax.image.resize(e3, (*e3.shape[:2], *e2.shape[2:]), "nearest")
+        d2 = nn.relu(conv(jnp.concatenate([d2, e2], 1), self.base * 2))
+        d1 = jax.image.resize(d2, (*d2.shape[:2], *e1.shape[2:]), "nearest")
+        d1 = nn.relu(conv(jnp.concatenate([d1, e1], 1), self.base))
+        return conv(d1, self.out_ch)
+

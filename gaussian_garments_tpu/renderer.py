@@ -88,6 +88,20 @@ def _rasterize(proj, *, image_height, image_width, bg, config: RasterConfig):
         tile_capacity=config.tile_capacity, chunk_tiles=config.chunk_tiles)
 
 
+def doll_render(camera, bundle: SplatBundle, bg_color, *, override_shs=None,
+                scaling_modifier: float = 1.0, vis_mask=None,
+                config: "RasterConfig" = None):
+    """Raw-attribute render used at inference (reference ``doll_render``,
+    gaussian_renderer/__init__.py:124-221): same as ``render`` but the caller
+    supplies already-combined SH (``override_shs``) on a concatenated
+    multi-garment bundle. Returns (image, depth, alpha)."""
+    if override_shs is not None:
+        bundle = bundle.replace(shs=override_shs)
+    out = render(camera, bundle, bg_color, scaling_modifier=scaling_modifier,
+                 vis_mask=vis_mask, config=config or RasterConfig())
+    return out["render"], out["depth"], out["alpha"]
+
+
 @struct.dataclass
 class BatchedCameras:
     """A stacked batch of cameras sharing static width/height — the unit of

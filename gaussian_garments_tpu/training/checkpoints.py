@@ -66,3 +66,31 @@ def load_s3_ckpt(model_path, name: str = "ckpt") -> Dict:
 
 def has_s3_ckpt(model_path, name: str = "ckpt") -> bool:
     return (Path(model_path) / name / "net.pkl").exists()
+
+
+def capture(state) -> Dict:
+    """Full optimization-state snapshot incl. optimizer moments — the
+    reference's ``GaussianModel.capture()`` tuple (scene/gaussian_model.py:
+    61-93) as a pickled numpy pytree. Works on any flax.struct state
+    (S2State, S3State)."""
+    return {"state": _to_numpy(state)}
+
+
+def restore(snapshot: Dict, like):
+    """Inverse of ``capture``: rebuild the device pytree with the structure of
+    ``like`` (GaussianModel.restore :75-93)."""
+    import jax.numpy as jnp
+
+    src = snapshot["state"]
+    return jax.tree.map(lambda _, v: jnp.asarray(v), like, src)
+
+
+def save_snapshot(path, state) -> None:
+    os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(capture(state), f)
+
+
+def load_snapshot(path, like):
+    with open(path, "rb") as f:
+        return restore(pickle.load(f), like)

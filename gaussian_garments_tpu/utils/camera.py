@@ -170,6 +170,38 @@ def make_camera(
     )
 
 
+def load_cam(args, id: int, R, T, fx, fy, cx, cy, image: np.ndarray,
+             mask: Optional[np.ndarray], image_name: str = "",
+             resolution_scale: float = 1.0) -> Camera:
+    """Reference ``utils/camera_utils.py:19-62`` ``loadCam``: the -r/--resolution
+    downscaling policy (1/2/4/8 divisors, -1 = cap width at 1600, other values
+    = target width), then Camera construction. ``image`` is (3,H,W) float."""
+    orig_h, orig_w = image.shape[1:]
+    res = getattr(args, "resolution", -1)
+    if res in (1, 2, 4, 8):
+        new_w = round(orig_w / (resolution_scale * res))
+        new_h = round(orig_h / (resolution_scale * res))
+    else:
+        if res == -1:
+            global_down = orig_w / 1600 if orig_w > 1600 else 1
+        else:
+            global_down = orig_w / res
+        scale = float(global_down) * float(resolution_scale)
+        new_w, new_h = int(orig_w / scale), int(orig_h / scale)
+
+    if (new_w, new_h) != (orig_w, orig_h):
+        import jax
+        image = np.asarray(jax.image.resize(jnp.asarray(image), (3, new_h, new_w), "bilinear"))
+        if mask is not None:
+            mask = np.asarray(jax.image.resize(jnp.asarray(mask), (1, new_h, new_w), "bilinear"))
+        sx, sy = new_w / orig_w, new_h / orig_h
+        fx, fy, cx, cy = fx * sx, fy * sy, cx * sx, cy * sy
+
+    return make_camera(R=R, T=T, fx=fx, fy=fy, cx=cx, cy=cy, width=new_w, height=new_h,
+                       image=image, gt_alpha_mask=mask, uid=id, colmap_id=id,
+                       image_name=image_name)
+
+
 def camera_from_json_params(params: dict, h: int = 1280, w: int = 940) -> Camera:
     """Reference ``scene/cameras.py:78-89`` ``get_cam_info``: build a camera
     from an {intrinsics, extrinsics} dict."""

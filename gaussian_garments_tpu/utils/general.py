@@ -53,6 +53,26 @@ def knn_numpy(pts: np.ndarray, num_knn: int):
     return (dists[:, 1:] ** 2), idx[:, 1:]
 
 
+def safe_state(silent: bool = False, seed: int = 0):
+    """Seed numpy/python RNGs and optionally silence stdout (reference
+    ``utils/general_utils.py:122-143`` minus the torch/cuda parts; JAX
+    randomness is explicit-key so no global seeding applies)."""
+    import random
+    import sys
+
+    if silent:
+        class _Quiet:
+            def write(self, _):
+                pass
+
+            def flush(self):
+                pass
+
+        sys.stdout = _Quiet()
+    random.seed(seed)
+    np.random.seed(seed)
+
+
 def mkdir_p(folder_path):
     os.makedirs(folder_path, exist_ok=True)
 

@@ -1,0 +1,78 @@
+"""Pallas kernel tests (interpret mode — runs on CPU): forward parity vs the
+exact oracle and analytic-backward parity vs oracle autodiff."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_garments_tpu.ops.pallas_tiles import _forward, rasterize_pallas
+from gaussian_garments_tpu.ops.projection import project_gaussians
+from gaussian_garments_tpu.ops.rasterizer_ref import rasterize_reference
+from gaussian_garments_tpu.utils.camera import make_camera
+
+H = W = 64
+
+
+def _scene(rng, n=150):
+    means = rng.randn(n, 3).astype(np.float32) * 0.3
+    scales = np.exp(rng.randn(n, 3).astype(np.float32) * 0.4 - 3.2)
+    rots = rng.randn(n, 4).astype(np.float32)
+    opac = (1 / (1 + np.exp(-rng.randn(n, 1)))).astype(np.float32).reshape(-1)
+    shs = rng.randn(n, 1, 3).astype(np.float32) * 0.3
+    cam = make_camera(np.eye(3), np.array([0.0, 0, 3.0]), fx=150, fy=150,
+                      cx=W / 2, cy=H / 2, width=W, height=H)
+    return means, scales, rots, opac, shs, cam
+
+
+def _proj(cam, m, s, r, o, sh):
+    return project_gaussians(
+        m, cam.world_view_transform, cam.full_proj_transform, cam.camera_center,
+        image_width=W, image_height=H, tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        scales=s, rotations=r, shs=sh, opacities=o, sh_degree=0)
+
+
+class TestPallasForward:
+    def test_matches_oracle(self, rng):
+        means, scales, rots, opac, shs, cam = _scene(rng)
+        proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        ir, dr, ar = rasterize_reference(proj, image_height=H, image_width=W, bg=bg)
+        ip, dp, ap, aux = _forward(proj, bg, image_height=H, image_width=W,
+                                   max_tiles_side=6, pair_budget=8192, interpret=True)
+        np.testing.assert_allclose(np.asarray(ip), np.asarray(ir), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dr), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(ar), atol=2e-5)
+        assert int(aux["n_overflow"]) == 0
+
+    def test_budget_overflow_reported(self, rng):
+        means, scales, rots, opac, shs, cam = _scene(rng, n=100)
+        proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
+        _, _, _, aux = _forward(proj, jnp.zeros(3), image_height=H, image_width=W,
+                                max_tiles_side=6, pair_budget=128, interpret=True)
+        assert int(aux["n_overflow"]) > 0
+
+
+class TestPallasBackward:
+    def test_gradients_match_oracle_autodiff(self, rng):
+        means, scales, rots, opac, shs, cam = _scene(rng, n=120)
+        target = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+        bg0 = jnp.asarray([0.1, 0.2, 0.3])
+
+        def mk_loss(raster):
+            def loss(m, o, s, r, sh, bg):
+                proj = _proj(cam, m, s, r, o, sh)
+                out = raster(proj, bg)
+                img, d, a = out[0], out[1], out[2]
+                return ((img - target) ** 2).mean() + 0.1 * d.mean() + 0.05 * (a ** 2).mean()
+            return loss
+
+        lp = mk_loss(lambda p, bg: rasterize_pallas(
+            p, image_height=H, image_width=W, bg=bg, interpret=True, pair_budget=8192))
+        lr = mk_loss(lambda p, bg: rasterize_reference(p, image_height=H, image_width=W, bg=bg))
+        args = tuple(jnp.asarray(x) for x in (means, opac, scales, rots, shs)) + (bg0,)
+        gp = jax.grad(lp, argnums=tuple(range(6)))(*args)
+        gr = jax.grad(lr, argnums=tuple(range(6)))(*args)
+        for name, a, b in zip(("means", "opac", "scales", "rots", "shs", "bg"), gp, gr):
+            scale = max(float(jnp.abs(b).max()), 1e-8)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=scale * 1e-4, err_msg=name)
