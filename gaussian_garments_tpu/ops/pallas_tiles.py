@@ -101,11 +101,13 @@ def pack_pairs(
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
     if n <= (1 << 18) and num_tiles < (1 << 13):
-        # fused single int32 key: tile in the top 13 bits, depth rank below
+        # fused single int32 key (tile in the top 13 bits, exact depth rank
+        # below) with the splat id co-sorted: one single-key sort
         key = (tile_id << 18) | rank[:, None]
-        sorted_key = jax.lax.sort(key.reshape(-1))
+        splat_id = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
+        sorted_key, sorted_splat = jax.lax.sort(
+            (key.reshape(-1), splat_id.reshape(-1)), num_keys=1)
         sorted_tile = (sorted_key >> 18).astype(jnp.int32)
-        sorted_splat = order[sorted_key & ((1 << 18) - 1)]
     else:
         splat_id = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
         sorted_tile, _, sorted_splat = jax.lax.sort(

@@ -31,10 +31,8 @@ from gaussian_garments_tpu.models import gaussian as G
 from gaussian_garments_tpu.models import mesh_gaussian as MG
 from gaussian_garments_tpu.models.adam import TreeAdam, tree_adam_init, tree_adam_step
 from gaussian_garments_tpu.models.avatar_net import AvatarNet, apply_shadow
-from gaussian_garments_tpu.renderer import RasterConfig, SplatBundle
+from gaussian_garments_tpu.renderer import RasterConfig, SplatBundle, _rasterize
 from gaussian_garments_tpu.ops.projection import project_gaussians
-from gaussian_garments_tpu.ops.rasterizer_ref import rasterize_reference
-from gaussian_garments_tpu.ops.tiled import rasterize_tiled
 from gaussian_garments_tpu.training.s2 import _safe_norm
 from gaussian_garments_tpu.utils.losses import l1_loss, ssim
 
@@ -129,17 +127,9 @@ def _s3_forward(net, net_vars, splats, bind, mesh_f, item_row, *,
         scales=scales, rotations=rotations, shs=shs, opacities=opacity,
         sh_degree=sh_degree,
     )
-    if raster_cfg.use_reference:
-        image, depth, alpha = rasterize_reference(
-            proj, image_height=item_row["height"], image_width=item_row["width"],
-            bg=item_row["bg"])
-    else:
-        image, depth, alpha, _ = rasterize_tiled(
-            proj, image_height=item_row["height"], image_width=item_row["width"],
-            bg=item_row["bg"], tile_size=raster_cfg.tile_size,
-            max_tiles_side=raster_cfg.max_tiles_side,
-            tile_capacity=raster_cfg.tile_capacity,
-            chunk_tiles=raster_cfg.chunk_tiles)
+    image, depth, alpha, _ = _rasterize(
+        proj, image_height=item_row["height"], image_width=item_row["width"],
+        bg=item_row["bg"], config=raster_cfg)
     return image, local_xyz
 
 
