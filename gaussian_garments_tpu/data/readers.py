@@ -92,7 +92,7 @@ class FrameDataloader:
             img = cam_path / DEFAULTS.rgb_images / self._img_names[name][frame]
             gm = cam_path / DEFAULTS.garment_masks / self._gm_names[name][frame]
             fg = cam_path / DEFAULTS.foreground_masks / self._fg_names[name][frame]
-            d = load_masked_image(img, gm, fg, bg * 255)
+            d = load_masked_image(img, gm, fg, bg)
             h, w = d["masked_img"].shape[:2]
             image = d["masked_img"].astype(np.float32).transpose(2, 0, 1) / 255.0
             mask = d["penalized_mask"].astype(np.float32)[None]
@@ -156,7 +156,7 @@ class AvatarDataset:
             folder / DEFAULTS.rgb_images / info["img_names"][cam][frame],
             folder / DEFAULTS.garment_masks / info["gm_names"][cam][frame],
             folder / DEFAULTS.foreground_masks / info["fg_names"][cam][frame],
-            bg * 255,
+            bg,
         )
         image = d["masked_img"].astype(np.float32).transpose(2, 0, 1) / 255.0
         mask = d["penalized_mask"].astype(np.float32)[None]

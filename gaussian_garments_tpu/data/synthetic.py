@@ -122,3 +122,92 @@ def make_scene(n_cams: int = 8, nx: int = 12, ny: int = 12, width: int = 128, he
     cams = make_camera_ring(n_cams, width=width, height_px=height)
     cams = render_ground_truth(cams, verts, faces, colors)
     return cams, verts, faces, uvs, colors
+
+
+def write_reference_layout(data_root, output_root, subject: str, sequence: str,
+                           *, n_cams: int = 4, n_frames: int = 2,
+                           nx: int = 10, ny: int = 10, res: int = 64) -> dict:
+    """Write a synthetic dataset in the reference's exact on-disk layout
+    (DataPreparation.md): per-camera rgb_images/garment_masks/
+    foreground_masks + cameras.json + smplx/*.ply under the data root;
+    template_uv.obj + point_cloud.ply under <output>/stage1. The garment
+    translates slightly every frame so stage-2 tracking has real motion."""
+    import json
+    import os
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from gaussian_garments_tpu.utils.io import save_image, store_ply, write_obj, write_ply
+
+    verts, faces, uvs = make_cloth_template(nx, ny)
+    colors = face_checker_colors(faces, verts)
+    cams = make_camera_ring(n_cams, width=res, height_px=res)
+
+    seq_dir = Path(data_root) / subject / sequence
+    cam_json = {}
+    for k, cam in enumerate(cams):
+        name = f"Cam{k:03d}"
+        intr = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+        extr = np.concatenate([cam.R.T, np.asarray(cam.T)[:, None]], axis=1)
+        cam_json[name] = {"intrinsics": intr.tolist(), "extrinsics": extr.tolist(), "ids": k}
+
+    frame_meshes = []
+    for t in range(n_frames):
+        v_t = verts + np.array([0.004 * t, 0.002 * t, 0.0], np.float32)
+        frame_meshes.append(v_t)
+        gt_cams = render_ground_truth(cams, v_t, faces, colors)
+        for k, cam in enumerate(gt_cams):
+            name = f"Cam{k:03d}"
+            img = np.asarray(cam.original_image).transpose(1, 2, 0)
+            mask = np.asarray(cam.gt_alpha_mask)[0]
+            save_image(seq_dir / name / "rgb_images" / f"{t:05d}.png", img)
+            save_image(seq_dir / name / "garment_masks" / f"{t:05d}.png", mask)
+            save_image(seq_dir / name / "foreground_masks" / f"{t:05d}.png", mask)
+
+        # "body": a plane far below the garment (keeps collision inert)
+        body_v = verts.copy()
+        body_v[:, 2] -= 2.0
+        os.makedirs(seq_dir / "smplx", exist_ok=True)
+        write_ply(seq_dir / "smplx" / f"{t:05d}.ply", {
+            "x": body_v[:, 0].astype(np.float32), "y": body_v[:, 1].astype(np.float32),
+            "z": body_v[:, 2].astype(np.float32)})
+        # append a face element manually (write_ply is vertex-only)
+        _append_ply_faces(seq_dir / "smplx" / f"{t:05d}.ply", body_v, faces)
+
+    with open(seq_dir / "cameras.json", "w") as f:
+        json.dump(cam_json, f)
+
+    stage1 = Path(output_root) / subject / "stage1"
+    os.makedirs(stage1, exist_ok=True)
+    write_obj({"vertices": verts, "faces": faces, "uvs": uvs, "texture_faces": faces},
+              stage1 / "template_uv.obj")
+    centers = verts[faces].mean(1)
+    store_ply(stage1 / "point_cloud.ply", centers, colors * 255)
+    with open(stage1 / "cameras.json", "w") as f:
+        json.dump(cam_json, f)
+    return {"verts": verts, "faces": faces, "uvs": uvs, "colors": colors,
+            "frames": frame_meshes, "cams": cams}
+
+
+def _append_ply_faces(path, verts, faces):
+    """Rewrite a vertex-only binary PLY with a triangular face element."""
+    import numpy as np
+
+    n, m = len(verts), len(faces)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {m}\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    )
+    vdata = np.ascontiguousarray(verts, np.float32).tobytes()
+    fdtype = np.dtype([("n", "u1"), ("idx", "<i4", 3)])
+    farr = np.empty(m, fdtype)
+    farr["n"] = 3
+    farr["idx"] = np.asarray(faces, np.int32)
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(vdata)
+        f.write(farr.tobytes())

@@ -28,7 +28,7 @@ import numpy as np
 from gaussian_garments_tpu.config import DEFAULTS
 from gaussian_garments_tpu.utils.io import load_masked_image, save_image
 
-GREEN = np.array([0, 255, 0], np.uint8)
+GREEN = np.array([0.0, 1.0, 0.0])  # bg in [0,1] (io.load_masked_image scale)
 
 
 def rotmat2qvec(R: np.ndarray) -> np.ndarray:
@@ -66,7 +66,7 @@ def prepare_dataset(source_root, target_root, camera_model: str = "PINHOLE",
         d = load_masked_image(imgs[template_frame], gms[template_frame],
                               fgs[template_frame], GREEN)
         out_name = f"{name}.png"
-        save_image(imgs_dir / out_name, d["masked_img"])
+        save_image(imgs_dir / out_name, d["masked_img"] / 255.0)
 
         intr = np.asarray(cam_params[name]["intrinsics"])
         extr = np.asarray(cam_params[name]["extrinsics"])
