@@ -178,7 +178,16 @@ def init_from_template(
     world_xyz = np.stack([world["x"], world["y"], world["z"]], axis=1)
     _, nb = cKDTree(world_xyz).query(gs_3d)
 
-    local_params, _ = G.load_ply(local_ply_path, max_sh_degree)
+    try:
+        local_params, _ = G.load_ply(local_ply_path, max_sh_degree)
+    except AssertionError:
+        # stage-2 runs with sh_degree=0 (s2_registration.py:158); higher-order
+        # coefficients start at zero — the reference swallows the mismatch the
+        # same way (avatar_gaussian_model.py:99-110 try/except)
+        local_params, _ = G.load_ply(local_ply_path, 0)
+        r = (max_sh_degree + 1) ** 2 - 1
+        local_params = local_params.replace(
+            features_rest=jnp.zeros((local_params.xyz.shape[0], r, 3), jnp.float32))
     take = lambda a: np.asarray(a)[nb]
 
     n = len(gs_3d)
