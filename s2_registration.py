@@ -64,6 +64,9 @@ def main():
     parser.add_argument("--camera", default="PINHOLE", type=str)
     # TPU additions (do not change reference semantics at defaults)
     parser.add_argument("--cameras_per_step", type=int, default=1)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the camera batch over all local devices "
+                             "(cameras_per_step must be a multiple of the device count)")
     args = parser.parse_args(sys.argv[1:])
 
     args.sh_degree = 0      # reference hard-override (s2_registration.py:158)
@@ -165,12 +168,29 @@ def main():
 
         b = args.cameras_per_step
         steps = {}
+        dp_mesh = None
+        if args.data_parallel and jax.device_count() > 1:
+            from gaussian_garments_tpu.parallel import make_data_mesh
+            dp_mesh = make_data_mesh()
+            assert b % dp_mesh.size == 0, \
+                f"--cameras_per_step {b} must be a multiple of {dp_mesh.size} devices"
 
         def get_step(mode, use_body):
             key = (mode, use_body, state.params.xyz.shape[0])
             if key not in steps:
-                steps[key] = S2.make_s2_step(opt, mode=mode, use_body=use_body,
-                                             active_sh_degree=0, raster_cfg=cfg)
+                if dp_mesh is not None:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+                    raw = S2.make_s2_step(opt, mode=mode, use_body=use_body,
+                                          active_sh_degree=0, raster_cfg=cfg,
+                                          axis_name="data", jit=False)
+                    steps[key] = jax.jit(shard_map(
+                        raw, mesh=dp_mesh,
+                        in_specs=(P(), P("data"), P(), P(), P()),
+                        out_specs=(P(), P(), P()), check_vma=False))
+                else:
+                    steps[key] = S2.make_s2_step(opt, mode=mode, use_body=use_body,
+                                                 active_sh_degree=0, raster_cfg=cfg)
             return steps[key]
 
         viewpoint_stack = []
@@ -182,10 +202,10 @@ def main():
                 mode = "template_p2" if (is_ff and use_body) else "template_p1"
             else:
                 mode = "seq"
-            if not viewpoint_stack:
-                viewpoint_stack = list(train_cams)
             picked = []
-            for _ in range(min(b, len(viewpoint_stack))):
+            while len(picked) < b:
+                if not viewpoint_stack:
+                    viewpoint_stack = list(train_cams)
                 picked.append(viewpoint_stack.pop(rng.randint(0, len(viewpoint_stack) - 1)))
             batch = BatchedCameras.from_cameras(picked)
             bg = jnp.asarray(np.random.rand(3).astype(np.float32)) if opt.random_background else bg_color

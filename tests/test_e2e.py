@@ -67,3 +67,52 @@ class TestS2Driver:
         for t in range(2):
             assert (out / "meshes" / f"frame_{t:05d}.obj").exists()
             assert (out / "point_cloud" / f"frame_{t:05d}" / "point_cloud.ply").exists()
+
+
+class TestS3AndInferenceDrivers:
+    def test_s3_then_inference(self, dataset, monkeypatch):
+        root, meta = dataset
+        import s3_appearance
+
+        monkeypatch.setattr(sys, "argv", [
+            "s3_appearance.py", "-s", "subj", "--texture_size", "32",
+            "--sh_degree", "0", "--save_iterations", "100000",
+            "--items_per_step", "2"])
+        # shrink to 1 epoch for CI speed
+        import gaussian_garments_tpu.config  # noqa: F401
+        orig_main = s3_appearance.main
+
+        # run one epoch by patching the hard-coded 5 via argv is not possible;
+        # instead run main and rely on the tiny dataset (4 items x 5 epochs)
+        orig_main()
+        ckpt = root / "out" / "subj" / "stage3" / "ckpt"
+        assert (ckpt / "net.pkl").exists() and (ckpt / "info.txt").exists()
+
+        # --- inference on a synthetic trajectory ---
+        import inference as inference_driver
+
+        verts, faces = meta["verts"], meta["faces"]
+        body = verts.copy()
+        body[:, 2] -= 2.0
+        traj = {
+            "pred": np.stack([verts, verts + np.array([0.004, 0.002, 0], np.float32)]),
+            "cloth_faces": faces,
+            "obstacle": np.stack([body, body]),
+            "obstacle_faces": faces,
+            "garment_names": ["subj"],
+        }
+        traj_path = root / "traj.pkl"
+        with open(traj_path, "wb") as f:
+            pickle.dump(traj, f)
+        out_path = root / "render_out"
+        monkeypatch.setattr(sys, "argv", [
+            "inference.py", "--traj_path", str(traj_path),
+            "--output_path", str(out_path), "--sh_degree", "0",
+            "--texture_size", "32", "--width", "64", "--height", "64"])
+        inference_driver.main()
+        renders = sorted((out_path / "renders").glob("*.png"))
+        assert len(renders) == 2
+        from PIL import Image
+        img = np.array(Image.open(renders[0]))
+        assert img.shape == (64, 64 * 3, 3)
+        assert np.isfinite(img).all()
