@@ -88,6 +88,7 @@ def render_ground_truth(cameras: List[Camera], verts: np.ndarray, faces: np.ndar
     original_image/gt_alpha_mask filled (mask = alpha > 0.5)."""
     from gaussian_garments_tpu.ops.projection import project_gaussians
     from gaussian_garments_tpu.ops.rasterizer_ref import rasterize_reference
+    from gaussian_garments_tpu.ops.tiled import rasterize_tiled
     from gaussian_garments_tpu.utils.sh import rgb2sh
 
     centers = verts[faces].mean(axis=1).astype(np.float32)
@@ -107,9 +108,16 @@ def render_ground_truth(cameras: List[Camera], verts: np.ndarray, faces: np.ndar
             scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
             shs=jnp.asarray(shs), opacities=jnp.asarray(opac), sh_degree=0,
         )
-        img, _, alpha = rasterize_reference(
-            proj, image_height=cam.image_height, image_width=cam.image_width, bg=jnp.zeros(3)
-        )
+        # the exact O(N·H·W) oracle only at test sizes; the tiled compositor
+        # (same math) for anything larger
+        if n * cam.image_height * cam.image_width <= 3e8:
+            img, _, alpha = rasterize_reference(
+                proj, image_height=cam.image_height, image_width=cam.image_width,
+                bg=jnp.zeros(3))
+        else:
+            img, _, alpha, _ = rasterize_tiled(
+                proj, image_height=cam.image_height, image_width=cam.image_width,
+                bg=jnp.zeros(3))
         mask = (np.asarray(alpha) > 0.5).astype(np.float32)
         out.append(cam.replace(original_image=img, gt_alpha_mask=jnp.asarray(mask)))
     return out
