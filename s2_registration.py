@@ -234,6 +234,23 @@ def main():
         scene.save(t, state.params, state.aux, np.asarray(state.binding), frames,
                    template=args.is_template)
         scene.save_mesh(t, tem, np.asarray(state.mesh.v))
+
+        # debug render panel: GT | penalized mask | render | abs-diff
+        # (reference saver, s2_registration.py:98-122)
+        from gaussian_garments_tpu.renderer import SplatBundle, render as render_one
+        from gaussian_garments_tpu.models import gaussian as GM
+        from gaussian_garments_tpu.utils.logging import debug_panel
+        cam0 = train_cams[0]
+        bundle = SplatBundle(
+            means3d=MG.world_xyz(state.params, state.binding, frames),
+            opacity=GM.get_opacity(state.params) * state.aux.alive[:, None],
+            scales=MG.world_scaling(state.params, state.binding, frames),
+            rotations=MG.world_rotation(state.params, state.binding, frames),
+            shs=GM.get_features(state.params), active_sh_degree=0)
+        out_img = render_one(cam0, bundle, bg_color, config=cfg)["render"]
+        debug_panel(np.asarray(cam0.original_image), np.asarray(cam0.gt_alpha_mask),
+                    np.asarray(out_img),
+                    path=str(stage2_path / "renders" / f"{t:05d}.png"))
         xyz = np.asarray(MG.world_xyz(state.params, state.binding, frames))
         rot = np.asarray(MG.world_rotation(state.params, state.binding, frames))
         scene.post_each_frame(is_ff, xyz, rot, tem["vertices"], tem["faces"],
