@@ -119,6 +119,7 @@ def main():
 
     frames_iterator = range(len(dataloader)) if not args.is_template else [args.template_frame]
     rng = random.Random(0)
+    densify_rng = np.random.RandomState(0)  # advances across densifications
 
     binding_counter = np.ones(len(tem["faces"]), np.int32)
     state = None
@@ -220,7 +221,8 @@ def main():
                 if it > opt.densify_from_iter and it % opt.densification_interval == 0:
                     size_threshold = 20 if it > opt.opacity_reset_interval else None
                     state, binding_counter, stats = S2.densify_and_prune_state(
-                        state, opt, scene.cameras_extent, size_threshold, binding_counter)
+                        state, opt, scene.cameras_extent, size_threshold, binding_counter,
+                        rng=densify_rng)
                 if it % opt.opacity_reset_interval == 0 or \
                         (args.white_background and it == opt.densify_from_iter):
                     state = S2.reset_opacity_state(state)
