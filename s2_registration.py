@@ -194,6 +194,9 @@ def main():
                                                  active_sh_degree=0, raster_cfg=cfg)
             return steps[key]
 
+        from gaussian_garments_tpu.utils.logging import MetricLogger, StepTimer
+        metrics_log = MetricLogger(str(stage2_path / "logs" / f"frame_{t:05d}.jsonl"))
+        timer = StepTimer()
         viewpoint_stack = []
         it = 0
         while it < iterations:
@@ -214,7 +217,8 @@ def main():
             step = get_step(mode, use_body)
             xyz_lr = float(xyz_sched(it)) if (args.is_template_seq and is_ff) else \
                 opt.position_lr_init * spatial_lr_scale
-            state, loss_dict, metrics = step(state, batch, bg, xyz_lr, vert_lr)
+            with timer.phase("step"):
+                state, loss_dict, metrics = step(state, batch, bg, xyz_lr, vert_lr)
 
             # densify / prune / opacity reset (template phase 1 only)
             if args.is_template_seq and is_ff and not use_body:
@@ -227,6 +231,12 @@ def main():
                         (args.white_background and it == opt.densify_from_iter):
                     state = S2.reset_opacity_state(state)
 
+            if it % 100 == 0 or it == iterations:
+                metrics_log.log(it, {k: float(v) for k, v in loss_dict.items()},
+                                n_splats=float(state.aux.alive.sum()),
+                                radii_max=float(metrics["radii_max"]),
+                                n_overflow=float(metrics["n_overflow"]),
+                                step_s=timer.avg.get("step", 0.0))
             if it % 500 == 0 or it == iterations:
                 print(f"[frame {t} iter {it}/{iterations}] "
                       + " ".join(f"{k}={float(v):.5f}" for k, v in loss_dict.items()))
@@ -257,6 +267,7 @@ def main():
         rot = np.asarray(MG.world_rotation(state.params, state.binding, frames))
         scene.post_each_frame(is_ff, xyz, rot, tem["vertices"], tem["faces"],
                               np.asarray(state.binding))
+        metrics_log.close()
 
     print("\nTraining complete.")
 
