@@ -163,6 +163,36 @@ class TestS3Step:
         # items oscillate; require the best-seen loss to beat the start)
         assert min(img_hist) < float(ld0["img"])
 
+    def test_shard_map_matches_single_device(self, scene, binding, rng):
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        net, state, item, f32 = _build_state(scene, binding, rng)
+        parser = ArgumentParser()
+        opt = OptimizationParams(parser).extract(parser.parse_args([]))
+        args = Namespace(**{**vars(opt), "lr_init": 5e-4})
+        cfg = RasterConfig(tile_capacity=128, chunk_tiles=16)
+        bind, _ = binding
+
+        step1 = S3.make_s3_step(net, args, sh_degree=1, raster_cfg=cfg, vis_raster_hw=(64, 64))
+        s_ref, ld_ref = step1(state, bind, f32, item)
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("data",))
+        stepn = S3.make_s3_step(net, args, sh_degree=1, raster_cfg=cfg,
+                                vis_raster_hw=(64, 64), axis_name="data", jit=False)
+        sharded = jax.jit(shard_map(
+            stepn, mesh=mesh,
+            in_specs=(P(), P(), P(), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        s_shard, ld_shard = sharded(state, bind, f32, item)
+        np.testing.assert_allclose(float(sum(ld_shard.values())),
+                                   float(sum(ld_ref.values())), rtol=1e-4)
+        g_ref = jax.tree.leaves(s_ref.net_params)[0]
+        g_sh = jax.tree.leaves(s_shard.net_params)[0]
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-5)
+
     def test_pretrain_freezes_splats(self, scene, binding, rng):
         net, state, item, f32 = _build_state(scene, binding, rng)
         parser = ArgumentParser()
