@@ -186,55 +186,61 @@ def _composite_kernel(
 
     @pl.when(k == 0)
     def _():
+        # zero init is also correct for empty tiles: premult color/alpha 0 and
+        # log T_final = 0 (T=1)
         out_ref[0] = jnp.zeros((PIX, 8), jnp.float32)
         t_ref[:] = jnp.zeros((PIX, 1), jnp.float32)   # log-transmittance
 
-    ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
-    oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
-    py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-    f = chunk_in[:]                                     # (16,CHUNK)
-    pair_idx = chunk * CHUNK + lane                     # global pair ids
-    valid = (pair_idx >= start) & (pair_idx < start + count)
-
-    dx = f[0:1, :] - px                                 # (256,CHUNK)
-    dy = f[1:2, :] - py
-    power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
-    ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
-    alpha = jnp.where(ok, alpha, 0.0)
-    log1ma = jnp.log1p(-alpha)
-
-    # the log-transmittance carry ALWAYS advances (even for saturated pixels)
-    # so the backward pass can reconstruct T exactly from the final value
-    logt_in = t_ref[:]
-    t_ref[:] = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
-    out_ref[0, :, 5:6] = t_ref[:]   # log T_final residual for the backward
-
-    # skip the accumulation matmuls once every pixel is saturated (the gating
-    # makes their contribution exactly zero; the DMA still streams)
-    @pl.when(jnp.max(logt_in) >= LOG_T_EPS)
+    # empty tiles skip everything after the k==0 init (their output is zeros
+    # and log T_final = 0 already); the input DMA still streams, pipelined
+    @pl.when(count > 0)
     def _():
-        rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-        u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
+        ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
+        oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
+        p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+        px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
+        py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        prefix = jax.lax.dot_general(
-            log1ma, u_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                   # (256,CHUNK) exclusive
-        logt = logt_in + prefix
-        t = jnp.exp(logt)
-        contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
+        f = chunk_in[:]                                     # (16,CHUNK)
+        pair_idx = chunk * CHUNK + lane                     # global pair ids
+        valid = (pair_idx >= start) & (pair_idx < start + count)
 
-        rgbd = f[6:10, :]                                   # (4,CHUNK)
-        acc4 = jax.lax.dot_general(
-            contrib, rgbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                                   # (256,4)
-        out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
-        out_ref[0, :, 4:5] = out_ref[0, :, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
+        dx = f[0:1, :] - px                                 # (256,CHUNK)
+        dy = f[1:2, :] - py
+        power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
+        ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
+        alpha = jnp.where(ok, alpha, 0.0)
+        log1ma = jnp.log1p(-alpha)
+
+        # the log-transmittance carry ALWAYS advances (even for saturated
+        # pixels) so the backward can reconstruct T from the final value
+        logt_in = t_ref[:]
+        t_ref[:] = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
+        out_ref[0, :, 5:6] = t_ref[:]
+
+        # skip the accumulation matmuls once every pixel is saturated (the
+        # gating makes their contribution exactly zero)
+        @pl.when(jnp.max(logt_in) >= LOG_T_EPS)
+        def _():
+            rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
+
+            prefix = jax.lax.dot_general(
+                log1ma, u_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )                                               # (256,CHUNK) exclusive
+            logt = logt_in + prefix
+            t = jnp.exp(logt)
+            contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
+
+            rgbd = f[6:10, :]                               # (4,CHUNK)
+            acc4 = jax.lax.dot_general(
+                contrib, rgbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )                                               # (256,4)
+            out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
+            out_ref[0, :, 4:5] = out_ref[0, :, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
 
 
 def composite_tiles_pallas(
@@ -322,6 +328,18 @@ def _backward_kernel(
     def _():
         grad_ref[:] = jnp.zeros((FDIM, CHUNK), jnp.float32)
 
+    @pl.when(count == 0)
+    def _():
+        pass  # empty tiles: grad block already zeroed on first visit
+
+    @pl.when(count > 0)
+    def _():
+        _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
+                       grad_ref, t_ref, s_ref)
+
+
+def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
+                   grad_ref, t_ref, s_ref):
     ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
     oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
