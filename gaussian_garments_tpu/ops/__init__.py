@@ -15,3 +15,4 @@ Layout (replaces the reference's external CUDA package
 from gaussian_garments_tpu.ops.projection import ProjectedGaussians, project_gaussians
 from gaussian_garments_tpu.ops.rasterizer_ref import rasterize_reference
 from gaussian_garments_tpu.ops.tiled import rasterize_tiled
+from gaussian_garments_tpu.ops.pallas_tiles import rasterize_pallas

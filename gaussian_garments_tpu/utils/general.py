@@ -80,6 +80,8 @@ def mkdir_p(folder_path):
 def search_for_max_iteration(folder):
     saved_iters = [int(fname.split("_")[-1]) for fname in os.listdir(folder)]
     return max(saved_iters)
+
+
 def search_for_min_frame(folder):
     """Smallest frame index among frame_%05d-style entries (reference
     utils/system_utils.py searchForMinFrame)."""
