@@ -54,6 +54,8 @@ class AvatarNet(nn.Module):
     sh_degree: int
 
     def setup(self):
+        # constructed-but-unused Fourier embedder (reference avatar_net.py:15)
+        self.embedder, self.embedder_dim = get_embedder(input_dim=7)
         self.shadow_net = SWGANUnet(
             inp_size=self.texture_size, inp_ch=4,
             out_ch=(self.sh_degree + 1) ** 2 * 3 + 3,
