@@ -18,6 +18,26 @@ from pathlib import Path
 import numpy as np
 
 
+def _save_debug_textures(net, state, bind, mesh_f, item, stage3_path, epoch, it):
+    """[AO | object-space normal | |Δrgb| of the shadow net] texture panel
+    (reference debug textures, s3_appearance.py:155-202)."""
+    import numpy as np
+
+    from gaussian_garments_tpu.models import mesh_gaussian as MG
+    from gaussian_garments_tpu.utils.io import save_image
+
+    frames = MG.compute_face_frames(item.mesh_v[0], mesh_f)
+    out = net.apply({"params": state.net_params, "buffers": state.net_buffers},
+                    item.ambient[0], item.normal[0], item.world_view[0],
+                    item.campos[0], bind, item.mesh_v[0], mesh_f, frames)
+    amb = np.repeat(np.asarray(item.ambient[0]), 3, axis=0)
+    nrm = np.asarray(item.normal[0])
+    drgb = np.abs(np.asarray(out[3:6]))
+    drgb = drgb / max(drgb.max(), 1e-6)
+    panel = np.concatenate([amb, nrm, drgb], axis=2).transpose(1, 2, 0)
+    save_image(stage3_path / "debug" / f"e{epoch:02d}_i{it:06d}.png", panel)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -130,6 +150,11 @@ def main():
             if it % 100 == 0:
                 print(f"[epoch {epoch} iter {it}/{len(dataset)}] "
                       + " ".join(f"{k}={float(v):.5f}" for k, v in loss_dict.items()))
+            # debug texture panels every save_iterations/5 items
+            # (reference s3_appearance.py:155-202)
+            if it % max(args.save_iterations // 5, 1) == 0:
+                _save_debug_textures(net, state, bind, mesh_f, item, stage3_path,
+                                     epoch, it)
             if it > 0 and it % args.save_iterations == 0:
                 save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
         save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
