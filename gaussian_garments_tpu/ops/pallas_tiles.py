@@ -25,9 +25,12 @@ Design (vector registers are 8 sublanes × 128 lanes):
   the CUDA per-pixel break (the DMA still streams, fully overlapped).
 
 Gradients: ``rasterize_pallas`` wires a ``jax.custom_vjp`` whose backward is
-the VJP of the mathematically-identical XLA path (same masking thresholds),
-so training gets exact gradients while the forward runs at kernel speed. A
-dedicated Pallas backward kernel can replace it without changing callers.
+a dedicated second Pallas kernel (``_backward_kernel``): a back-to-front
+re-traversal of the same work-item list reusing the forward's packed pairs as
+residuals, reconstructing per-pair transmittance from the saved final
+log-transmittance and accumulating the analytic gradients (same masking
+thresholds as the forward — mirrored in ``ops/rasterizer_ref.py`` and
+``ops/tiled.py``, enforced by ``tests/test_pallas.py``).
 
 Feature rows (16, padded): [0]=mean_x [1]=mean_y [2]=conic_a [3]=conic_b
 [4]=conic_c [5]=opacity [6]=r [7]=g [8]=b [9]=view_depth [10:16]=pad.
@@ -483,19 +486,18 @@ def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
     return image, depth, alpha, aux
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _rasterize_pallas_core(proj, bg, image_height, image_width,
-                           max_tiles_side, pair_budget, interpret,
-                           vjp_tile_capacity):
-    img, depth, alpha, _ = _forward(
+                           max_tiles_side, pair_budget, interpret):
+    img, depth, alpha, aux = _forward(
         proj, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
         interpret=interpret)
-    return img, depth, alpha
+    return img, depth, alpha, aux["n_clipped"], aux["n_overflow"]
 
 
 def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
-              pair_budget, interpret, vjp_tile_capacity):
+              pair_budget, interpret):
     tiles_x = -(-image_width // TILE)
     tiles_y = -(-image_height // TILE)
     pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
@@ -506,17 +508,20 @@ def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
     color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
     image = color + (1.0 - alpha) * bg[:, None, None]
     t_final = out[:, :, 5:6]                    # (T,256,1) backward residual
+    n_clipped = pairs.n_clipped
+    n_overflow = jnp.maximum(pairs.n_valid - pair_budget, 0)
     # keep the packed pairs as residuals: the backward reuses them instead of
     # re-running the sort/binning (~45 ms at 150K splats; ~150 MB HBM)
-    return (image, depth, alpha), (pairs, bg, t_final, alpha, proj.means2d.shape[0])
+    return ((image, depth, alpha, n_clipped, n_overflow),
+            (pairs, bg, t_final, alpha, proj.means2d.shape[0]))
 
 
 def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
-              interpret, vjp_tile_capacity, res, g):
+              interpret, res, g):
     """Dedicated Pallas backward: back-to-front suffix re-traversal over the
     same work-item list (analytic gradients matching the forward's gating)."""
     pairs, bg, t_final, alpha_img, n = res
-    g_img, g_depth, g_alpha = g
+    g_img, g_depth, g_alpha, _, _ = g   # int diagnostics carry float0 cotangents
 
     tiles_x = -(-image_width // TILE)
     tiles_y = -(-image_height // TILE)
@@ -567,11 +572,10 @@ def rasterize_pallas(
     max_tiles_side: int = 6,
     pair_budget: int = 2_097_152,
     interpret: bool = False,
-    vjp_tile_capacity: int = 256,
 ):
     """Drop-in for ``ops.tiled.rasterize_tiled`` (same return signature)."""
-    img, depth, alpha = _rasterize_pallas_core(
+    img, depth, alpha, n_clipped, n_overflow = _rasterize_pallas_core(
         proj, bg, image_height, image_width, max_tiles_side, pair_budget,
-        interpret, vjp_tile_capacity)
-    aux = {"n_clipped": jnp.zeros((), jnp.int32), "n_overflow": jnp.zeros((), jnp.int32)}
+        interpret)
+    aux = {"n_clipped": n_clipped, "n_overflow": n_overflow}
     return img, depth, alpha, aux

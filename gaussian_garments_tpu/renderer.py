@@ -80,8 +80,7 @@ def _rasterize(proj, *, image_height, image_width, bg, config: RasterConfig):
 
         return rasterize_pallas(
             proj, image_height=image_height, image_width=image_width, bg=bg,
-            max_tiles_side=config.max_tiles_side, pair_budget=config.pair_budget,
-            vjp_tile_capacity=config.tile_capacity)
+            max_tiles_side=config.max_tiles_side, pair_budget=config.pair_budget)
     return rasterize_tiled(
         proj, image_height=image_height, image_width=image_width, bg=bg,
         tile_size=config.tile_size, max_tiles_side=config.max_tiles_side,
