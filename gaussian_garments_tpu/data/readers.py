@@ -65,14 +65,41 @@ def _camera_from_params(params: dict, width: int, height: int, uid: int,
     )
 
 
-class FrameDataloader:
-    """Stage-2 loader: all cameras of one frame (dataset_readers.py:53-159)."""
+def _resolve_process(process_index, process_count):
+    """Multi-host identity for input sharding (SURVEY §2.6 table row 4).
 
-    def __init__(self, args):
+    Defaults to ``jax.process_index()/process_count()`` — 0/1 on a single
+    host, so single-host behavior is unchanged. Image bytes move host→chip
+    over PCIe per process; nothing input-related crosses DCN (each host only
+    reads its own slice; gradients meet via psum over ICI in the step fns).
+    """
+    if process_index is not None and process_count is not None:
+        return int(process_index), max(int(process_count), 1)
+    import jax
+
+    try:
+        return jax.process_index(), max(jax.process_count(), 1)
+    except Exception:
+        return 0, 1
+
+
+class FrameDataloader:
+    """Stage-2 loader: all cameras of one frame (dataset_readers.py:53-159).
+
+    With multiple processes, each host loads a disjoint strided slice of the
+    camera list (per-host input sharding; the reference's single-process
+    analogue is the DataLoader prefetch, s3_appearance.py:99-100).
+    """
+
+    def __init__(self, args, process_index=None, process_count=None):
         self.subject_out = args.subject_out
         self.white_background = args.white_background
+        self.process_index, self.process_count = _resolve_process(
+            process_index, process_count)
         seq_path = Path(DEFAULTS.data_root) / args.subject / args.sequence
         self.cam_paths = sorted([p for p in seq_path.iterdir() if p.is_dir() and p.name != "smplx"])
+        if self.process_count > 1:
+            self.cam_paths = self.cam_paths[self.process_index::self.process_count]
         self.camera_params = json.load(open(seq_path / "cameras.json"))
         self.cam_num = len(self.cam_paths)
         self._img_names, self._gm_names, self._fg_names = _index_camera_files(self.cam_paths)
@@ -106,7 +133,7 @@ class AvatarDataset:
     """Stage-3 dataset over (sequence, frame, camera) items
     (scene/dataloader.py:17-200), with our AO/normal baker."""
 
-    def __init__(self, args, bind=None):
+    def __init__(self, args, bind=None, process_index=None, process_count=None):
         self.data_dir = Path(DEFAULTS.data_root) / args.subject
         self.output_dir = Path(args.subject_out)
         self.bg = np.array([1, 1, 1]) if args.white_background else np.array([0, 0, 0])
@@ -114,20 +141,28 @@ class AvatarDataset:
         self.blur_mask = getattr(args, "blur_mask", False)
         self.texture_size = args.texture_size
         self.bind = bind
-        self.rng = random.Random(31359)
+        self.shuffle = bool(args.shuffle)
+        # multi-host input sharding (SURVEY §2.6): each process sees a
+        # disjoint strided slice of the item list; the shuffle seed is shared
+        # so slices stay disjoint across hosts
+        self.process_index, self.process_count = _resolve_process(
+            process_index, process_count)
 
         template = self.output_dir / DEFAULTS.stage1 / "template_uv.obj"
         self.template = read_obj(template) if template.exists() else None
 
         self.dataset_info: Dict[str, dict] = {}
-        self.frame_collection: List[Tuple[str, int, str]] = []
+        self._all_items: List[Tuple[str, int, str]] = []
+        self.eval_collection: List[Tuple[str, int, str]] = []
         for seq_path in sorted(p for p in self.data_dir.iterdir() if p.is_dir()):
             seq = seq_path.name
             cam_folders = sorted([p for p in seq_path.iterdir() if p.is_dir() and p.name != "smplx"])
             if args.eval:
                 cam_names = [c.name for i, c in enumerate(cam_folders) if i % args.llffhold != 0]
+                eval_names = [c.name for i, c in enumerate(cam_folders) if i % args.llffhold == 0]
             else:
                 cam_names = [c.name for c in cam_folders]
+                eval_names = []
             img_names, gm_names, fg_names = _index_camera_files(cam_folders)
             info = {
                 "cam_names": cam_names,
@@ -136,13 +171,26 @@ class AvatarDataset:
                 "frame_num": len(img_names[cam_folders[0].name]),
             }
             self.dataset_info[seq] = info
-            self.frame_collection += [(seq, f, c) for f in range(info["frame_num"])
-                                      for c in cam_names]
-        if args.shuffle:
-            self.rng.shuffle(self.frame_collection)
+            self._all_items += [(seq, f, c) for f in range(info["frame_num"])
+                                for c in cam_names]
+            self.eval_collection += [(seq, f, c) for f in range(info["frame_num"])
+                                     for c in eval_names]
+        self.reshuffle(epoch=0)
+
+    def reshuffle(self, epoch: int):
+        """Per-epoch reshuffle (reference ``DataLoader(shuffle=True)``,
+        s3_appearance.py:99) + per-host strided slice."""
+        items = list(self._all_items)
+        if self.shuffle:
+            random.Random(31359 + epoch).shuffle(items)
+        self.frame_collection = items[self.process_index::self.process_count]
 
     def __len__(self):
         return len(self.frame_collection)
+
+    def eval_item(self, index: int) -> dict:
+        """Load a held-out (llffhold) item for quality metrics."""
+        return self.load_frame(*self.eval_collection[index % len(self.eval_collection)])
 
     def __getitem__(self, index: int):
         return self.load_frame(*self.frame_collection[index])

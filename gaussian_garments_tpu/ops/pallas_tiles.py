@@ -65,9 +65,30 @@ class PackedPairs(NamedTuple):
     chunk_of_item: jnp.ndarray  # (W,) int32 input block per work item
     tile_of_item: jnp.ndarray   # (W,) int32 output tile per work item
     k_of_item: jnp.ndarray      # (W,) int32 item index within its tile
-    sorted_splat: jnp.ndarray  # (NP,) int32 original splat per sorted pair
+    sorted_rank: jnp.ndarray   # (NP,) int32 depth rank per sorted pair
+    rank: jnp.ndarray          # (N,) int32 depth rank per splat (bwd reorder)
     n_valid: jnp.ndarray       # () int32 total real pairs (pre-truncation)
     n_clipped: jnp.ndarray     # () int32 splats whose rect exceeded SIDE²
+
+
+def _lower_bound(sorted_arr: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized first-index-of lower bound: unrolled binary search (the
+    gathers are tiny — #queries × log₂ n — where a scatter-add histogram over
+    the same data costs ~30 ms at 2M pairs on TPU)."""
+    n = sorted_arr.shape[0]
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
+        mid = (lo + hi) >> 1
+        v = sorted_arr[jnp.minimum(mid, n - 1)]
+        go_right = v < queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+RANK_BITS = 18
+RANK_MASK = (1 << RANK_BITS) - 1
 
 
 def pack_pairs(
@@ -79,7 +100,20 @@ def pack_pairs(
     pair_budget: int,
 ) -> PackedPairs:
     """Binning + pair-space feature gather + work-item tables (XLA): CUDA's
-    duplicateWithKeys + radix sort + identifyTileRanges."""
+    duplicateWithKeys + radix sort + identifyTileRanges.
+
+    TPU-shaped differences from the CUDA stage (each measured; see
+    MEASUREMENTS.md "binning decomposition"):
+    - one **key-only** int32 sort of (tile ≪ 18 | depth-rank) — no payload
+      co-sort: the splat identity lives in the key's rank bits, and all
+      downstream consumers (feature gather, backward segment-sum) work in
+      depth-rank space, converting to splat order with cheap N-sized gathers;
+    - per-tile segment bounds via a vectorized binary search over the sorted
+      keys — a scatter-add histogram costs ~30 ms at 2M pairs on TPU;
+    - the feature gather is one row-major (N,16)-table gather (per-element
+      XLA gather overhead dwarfs bytes: 3 scalar gathers cost 142 ms where
+      one 3-wide row gather costs 13 ms).
+    """
     means2d, radii, depth = proj.means2d, proj.radii, proj.depth
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -94,46 +128,45 @@ def pack_pairs(
     alive = radii > 0
     n_clipped = jnp.sum((alive & (((x1 - x0) > side) | ((y1 - y0) > side))).astype(jnp.int32))
 
+    order = jnp.argsort(depth)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
     off = jnp.arange(side * side, dtype=jnp.int32)
     tx = x0[:, None] + (off % side)[None, :]
     ty = y0[:, None] + (off // side)[None, :]
     pair_valid = alive[:, None] & (tx < x1[:, None]) & (ty < y1[:, None])
     tile_id = jnp.where(pair_valid, ty * tiles_x + tx, num_tiles)
 
-    order = jnp.argsort(depth)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-
-    if n <= (1 << 18) and num_tiles < (1 << 13):
-        # fused single int32 key (tile in the top 13 bits, exact depth rank
-        # below) with the splat id co-sorted: one single-key sort
-        key = (tile_id << 18) | rank[:, None]
-        splat_id = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
-        sorted_key, sorted_splat = jax.lax.sort(
-            (key.reshape(-1), splat_id.reshape(-1)), num_keys=1)
-        sorted_tile = (sorted_key >> 18).astype(jnp.int32)
+    if n <= (1 << RANK_BITS) and num_tiles < (1 << (31 - RANK_BITS)):
+        # fused single int32 key, no payload
+        key = (tile_id << RANK_BITS) | rank[:, None]
+        sorted_key = jax.lax.sort(key.reshape(-1))
+        n_valid = _lower_bound(
+            sorted_key, jnp.full((1,), num_tiles << RANK_BITS, jnp.int32))[0]
+        sorted_key = sorted_key[:pair_budget]
+        sorted_rank = sorted_key & RANK_MASK
+        bound_q = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << RANK_BITS)
+        bounds = _lower_bound(sorted_key, bound_q)
     else:
-        splat_id = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape)
-        sorted_tile, _, sorted_splat = jax.lax.sort(
+        sorted_tile, sorted_rank, _ = jax.lax.sort(
             (tile_id.reshape(-1), jnp.broadcast_to(rank[:, None], tile_id.shape).reshape(-1),
-             splat_id.reshape(-1)),
+             jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape).reshape(-1)),
             num_keys=2,
         )
-    n_valid = jnp.searchsorted(sorted_tile, num_tiles).astype(jnp.int32)
-
-    sorted_tile = sorted_tile[:pair_budget]
-    sorted_splat = sorted_splat[:pair_budget]
-
-    # per-tile [start, start+count): one-hot scatter + cumsum (searchsorted
-    # lowers to a serial scan — ~300ms at this size)
-    counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[sorted_tile].add(1)[:num_tiles]
-    starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+        n_valid = _lower_bound(
+            sorted_tile, jnp.full((1,), num_tiles, jnp.int32))[0]
+        sorted_tile = sorted_tile[:pair_budget]
+        sorted_rank = sorted_rank[:pair_budget]
+        bounds = _lower_bound(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    counts = bounds[1:] - bounds[:-1]
+    starts = bounds[:-1]
 
     # ---- work-item tables (pair-space chunks; a boundary chunk appears once
     # per overlapping tile with complementary lane masks) ----
     ends = starts + counts
     n_items = jnp.where(counts > 0, (ends - 1) // CHUNK - starts // CHUNK + 1, 1)
     item_starts = (jnp.cumsum(n_items) - n_items).astype(jnp.int32)
-    np_real = sorted_splat.shape[0]                       # = min(budget, N·side²)
+    np_real = sorted_rank.shape[0]                        # = min(budget, N·side²)
     n_blocks = -(-np_real // CHUNK) + 1                   # + guard block
     w_cap = np_real // CHUNK + num_tiles
     boundary = jnp.zeros((w_cap,), jnp.int32).at[item_starts].add(1)
@@ -148,17 +181,19 @@ def pack_pairs(
                               jnp.clip(chunk_of_item, 0, n_blocks - 1),
                               n_blocks - 1)
 
-    # ---- pair-space feature gather ----
+    # ---- pair-space feature gather: the (N,16) table is permuted into depth
+    # -rank order first (cheap N-row gather), so the big gather indexes by the
+    # key's rank bits directly — no splat-id recovery gather needed ----
     zrow = jnp.zeros((n,))
-    feats_cols = jnp.stack([
+    feats_rows = jnp.stack([
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.opacity,
         proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
         proj.depth,
         zrow, zrow, zrow, zrow, zrow, zrow,
-    ], axis=0)                                          # (16, N)
-    feats_t = jnp.take(feats_cols, sorted_splat, axis=1)
+    ], axis=1)[order]                                   # (N, 16), rank order
+    feats_t = jnp.take(feats_rows, sorted_rank, axis=0).T   # OOB ranks clamp
     # pad to exactly n_blocks·CHUNK columns: the last block is a zero guard
     feats_t = jnp.pad(feats_t, ((0, 0), (0, n_blocks * CHUNK - np_real)))
 
@@ -166,7 +201,7 @@ def pack_pairs(
         feats_t,
         jnp.concatenate([starts, jnp.zeros((1,), jnp.int32)]),
         jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)]),
-        chunk_of_item, tile_of_item, k_of_item, sorted_splat, n_valid, n_clipped)
+        chunk_of_item, tile_of_item, k_of_item, sorted_rank, rank, n_valid, n_clipped)
 
 
 def _composite_kernel(
@@ -541,13 +576,16 @@ def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
     pair_grads = backward_tiles_pallas(pairs, cot_tiles, tiles_x=tiles_x,
                                        tiles_y=tiles_y, interpret=interpret)
 
-    np_real = pairs.sorted_splat.shape[0]          # = min(pair_budget, N·side²)
+    np_real = pairs.sorted_rank.shape[0]           # = min(pair_budget, N·side²)
     data = pair_grads[0:10, :np_real].T            # (NP,10)
     # pairs beyond the real segments live in never-visited (uninitialized)
-    # gradient blocks — route them to a discard segment
+    # gradient blocks — route them to a discard segment. Accumulation happens
+    # in depth-rank space (the sort carries no splat payload); one cheap
+    # N-row gather converts back to splat order.
     total_pairs = jnp.sum(pairs.counts)
-    ids = jnp.where(jnp.arange(np_real) < total_pairs, pairs.sorted_splat, n)
-    seg = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
+    ids = jnp.where(jnp.arange(np_real) < total_pairs, pairs.sorted_rank, n)
+    seg_rank = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
+    seg = jnp.take(seg_rank, pairs.rank, axis=0)   # rank space → splat order
 
     ct_proj = ProjectedGaussians(
         means2d=seg[:, 0:2],

@@ -168,6 +168,39 @@ def _s3_losses(net, net_params, net_buffers, splats, bind, mesh_f, item: S3Item,
     return total, loss_dict
 
 
+def make_s3_eval(net: AvatarNet, *, sh_degree: int,
+                 raster_cfg: RasterConfig = RasterConfig(),
+                 vis_raster_hw=(256, 256), jit: bool = True):
+    """eval(state, bind, mesh_f, item) -> (B,3,H,W) rendered images.
+
+    The inference-path forward (net → shadow textures → render) without
+    losses/optimizer — used by the drivers to log PSNR/SSIM on the llffhold
+    eval split (quality-parity harness; BASELINE.md targets)."""
+
+    def eval_fn(state: S3State, bind: AG.AvatarBinding, mesh_f, item: S3Item):
+        net_vars = {"params": state.net_params, "buffers": state.net_buffers}
+
+        def per_item(bg, mesh_v, ambient, normal, wv, fp, cp, tfx, tfy):
+            row = {
+                "mesh_v": mesh_v, "ambient": ambient, "normal": normal,
+                "world_view": wv, "full_proj": fp, "campos": cp,
+                "tanfovx": tfx, "tanfovy": tfy, "bg": bg,
+                "width": item.width, "height": item.height,
+            }
+            rendered, _ = _s3_forward(
+                net, net_vars, state.splats, bind, mesh_f, row,
+                sh_degree=sh_degree, raster_cfg=raster_cfg,
+                vis_raster_hw=vis_raster_hw)
+            return rendered
+
+        return jax.vmap(per_item)(
+            item.bg, item.mesh_v, item.ambient, item.normal,
+            item.world_view, item.full_proj, item.campos,
+            item.tanfovx, item.tanfovy)
+
+    return jax.jit(eval_fn) if jit else eval_fn
+
+
 def make_s3_step(net: AvatarNet, args, *, sh_degree: int,
                  raster_cfg: RasterConfig = RasterConfig(),
                  vis_raster_hw=(256, 256),

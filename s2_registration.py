@@ -132,7 +132,7 @@ def main():
         iterations = (args.first_frame_iterations + collision_iteration) if is_ff \
             else args.other_frame_iterations
 
-        train_cams, _ = scene.prepare_frame_cameras(t)
+        train_cams, test_cams = scene.prepare_frame_cameras(t)
 
         if is_ff and args.is_template_seq:
             params, aux, binding, binding_counter = MG.create_from_template(
@@ -263,6 +263,19 @@ def main():
         debug_panel(np.asarray(cam0.original_image), np.asarray(cam0.gt_alpha_mask),
                     np.asarray(out_img),
                     path=str(stage2_path / "renders" / f"{t:05d}.png"))
+
+        # quality parity: PSNR/SSIM on the llffhold eval split (and a train
+        # probe) at the save point — BASELINE.md's ≤0.1 dB target needs
+        # numbers, not just panels
+        from gaussian_garments_tpu.utils.quality import evaluate_cameras
+        _render = lambda c: render_one(c, bundle, bg_color, config=cfg)["render"]
+        q_train = evaluate_cameras(train_cams, _render, max_cams=4)
+        q_test = evaluate_cameras(test_cams, _render, max_cams=8)
+        quality = {**{f"train_{k}": v for k, v in q_train.items()},
+                   **{f"test_{k}": v for k, v in q_test.items()}}
+        metrics_log.log(iterations, quality, frame=t)
+        print(f"[frame {t}] quality: "
+              + " ".join(f"{k}={v:.3f}" for k, v in quality.items()))
         xyz = np.asarray(MG.world_xyz(state.params, state.binding, frames))
         rot = np.asarray(MG.world_rotation(state.params, state.binding, frames))
         scene.post_each_frame(is_ff, xyz, rot, tem["vertices"], tem["faces"],

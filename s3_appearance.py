@@ -70,6 +70,11 @@ def main():
     parser.add_argument("--blur_mask", action="store_true")
     parser.add_argument("--llffhold", type=int, default=12)
     parser.add_argument("--items_per_step", type=int, default=1)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the item batch over the device mesh "
+                             "(items_per_step must be a device-count multiple)")
+    parser.add_argument("--eval_items", type=int, default=4,
+                        help="held-out items rendered for PSNR/SSIM at save points")
     args = parser.parse_args(sys.argv[1:])
 
     if len(args.subject_out) == 0:
@@ -135,21 +140,65 @@ def main():
         print(f"Resumed from epoch {ck['epoch']}")
 
     cfg = RasterConfig()
-    step_pre = S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
-                               raster_cfg=cfg, train_gaussians=False)
-    step_full = S3.make_s3_step(net, run_args, sh_degree=args.sh_degree, raster_cfg=cfg)
-
     b = args.items_per_step
+    dp_mesh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from gaussian_garments_tpu.parallel import make_data_mesh
+        dp_mesh = make_data_mesh()
+        assert b % dp_mesh.size == 0, \
+            f"--items_per_step {b} must be a multiple of {dp_mesh.size} devices"
+
+    def build_step(train_gaussians):
+        if dp_mesh is None:
+            return S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
+                                   raster_cfg=cfg, train_gaussians=train_gaussians)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        raw = S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
+                              raster_cfg=cfg, train_gaussians=train_gaussians,
+                              axis_name="data", jit=False)
+        return jax.jit(shard_map(raw, mesh=dp_mesh,
+                                 in_specs=(P(), P(), P(), P("data")),
+                                 out_specs=(P(), P()), check_vma=False))
+
+    step_pre = build_step(train_gaussians=False)
+    step_full = build_step(train_gaussians=True)
+    eval_fn = S3.make_s3_eval(net, sh_degree=args.sh_degree, raster_cfg=cfg)
+
+    from gaussian_garments_tpu.utils.logging import MetricLogger
+    from gaussian_garments_tpu.utils.quality import image_metrics
+    metrics_log = MetricLogger(str(stage3_path / "logs" / "train.jsonl"))
+
+    def eval_quality():
+        """PSNR/SSIM on held-out llffhold items (quality-parity harness)."""
+        n = min(args.eval_items, len(dataset.eval_collection))
+        if n == 0:
+            return {}
+        acc = {}
+        for j in range(n):
+            it_ = make_item([dataset.eval_item(j)])
+            img = eval_fn(state, bind, mesh_f, it_)[0]
+            for k, v in image_metrics(img, it_.image[0], it_.mask[0]).items():
+                acc[k] = acc.get(k, 0.0) + v
+        return {f"eval_{k}": v / n for k, v in acc.items()}
+
+    global_it = 0
     for epoch in range(start_epoch, args.epochs + 1):
+        # per-epoch reshuffle (reference DataLoader(shuffle=True), s3:99)
+        dataset.reshuffle(epoch)
         for it in range(0, len(dataset), b):
-            batch = [dataset[j] for j in range(it, min(it + b, len(dataset)))]
+            batch = [dataset[j % len(dataset)] for j in range(it, it + b)]
             item = make_item(batch)
             pretrain = epoch == 1 and it < args.pre_train_iterations
             step = step_pre if pretrain else step_full
             state, loss_dict = step(state, bind, mesh_f, item)
+            global_it += 1
             if it % 100 == 0:
                 print(f"[epoch {epoch} iter {it}/{len(dataset)}] "
                       + " ".join(f"{k}={float(v):.5f}" for k, v in loss_dict.items()))
+                metrics_log.log(global_it,
+                                {k: float(v) for k, v in loss_dict.items()},
+                                epoch=epoch)
             # debug texture panels every save_iterations/5 items
             # (reference s3_appearance.py:155-202)
             if it % max(args.save_iterations // 5, 1) == 0:
@@ -157,7 +206,16 @@ def main():
                                      epoch, it)
             if it > 0 and it % args.save_iterations == 0:
                 save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
+                q = eval_quality()
+                if q:
+                    metrics_log.log(global_it, q, epoch=epoch)
+                    print(f"[epoch {epoch}] " + " ".join(f"{k}={v:.3f}" for k, v in q.items()))
         save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
+        q = eval_quality()
+        if q:
+            metrics_log.log(global_it, q, epoch=epoch)
+            print(f"[epoch {epoch}] " + " ".join(f"{k}={v:.3f}" for k, v in q.items()))
+    metrics_log.close()
 
     print("\nTraining complete.")
 
