@@ -173,13 +173,17 @@ def pack_pairs(
     tile_of_item = jnp.clip(jnp.cumsum(boundary).astype(jnp.int32) - 1, 0, num_tiles - 1)
     k_of_item = jnp.arange(w_cap, dtype=jnp.int32) - item_starts[tile_of_item]
     chunk_of_item = starts[tile_of_item] // CHUNK + k_of_item
-    # trailing padding items read the zeroed guard block (their pair ids lie
-    # beyond every segment, so their masks are empty and contributions zero)
+    # trailing padding items are routed to the GUARD tile (index num_tiles:
+    # count 0, its own output block) so they skip all compute — pointing them
+    # at a real tile would run the full body with empty masks (~4 ms at 1080p)
     total_items = item_starts[-1] + n_items[-1]
-    item_valid = jnp.arange(w_cap, dtype=jnp.int32) < total_items
+    idx_w = jnp.arange(w_cap, dtype=jnp.int32)
+    item_valid = idx_w < total_items
     chunk_of_item = jnp.where(item_valid,
                               jnp.clip(chunk_of_item, 0, n_blocks - 1),
                               n_blocks - 1)
+    tile_of_item = jnp.where(item_valid, tile_of_item, num_tiles)
+    k_of_item = jnp.where(item_valid, k_of_item, idx_w - total_items)
 
     # ---- pair-space feature gather: the (N,16) table is permuted into depth
     # -rank order first (cheap N-row gather), so the big gather indexes by the
@@ -288,8 +292,9 @@ def composite_tiles_pallas(
     tiles_y: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the kernel over the work-item list. Returns (T, 256, 8): cols 0-2
-    premult color, 3 depth, 4 alpha."""
+    """Run the kernel over the work-item list. Returns (T+1, 256, 8): cols 0-2
+    premult color, 3 depth, 4 alpha; the last row is the padding-item guard
+    tile (all zeros) — callers slice ``[:T]``."""
     num_tiles = tiles_x * tiles_y
     w = pairs.chunk_of_item.shape[0]
 
@@ -305,7 +310,7 @@ def composite_tiles_pallas(
     return pl.pallas_call(
         _composite_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, PIX, 8), jnp.float32),
         interpret=interpret,
     )(pairs.chunk_of_item, pairs.tile_of_item, pairs.k_of_item,
       pairs.starts, pairs.counts, jnp.array([tiles_x], jnp.int32),
@@ -510,7 +515,8 @@ def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
     tiles_y = -(-image_height // TILE)
     pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
                        max_tiles_side=max_tiles_side, pair_budget=pair_budget)
-    out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y, interpret=interpret)
+    out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y,
+                                 interpret=interpret)[:tiles_x * tiles_y]
     img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
     color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
     image = color + (1.0 - alpha) * bg[:, None, None]
@@ -538,7 +544,7 @@ def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
     pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
                        max_tiles_side=max_tiles_side, pair_budget=pair_budget)
     out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y,
-                                 interpret=interpret)
+                                 interpret=interpret)[:tiles_x * tiles_y]
     img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
     color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
     image = color + (1.0 - alpha) * bg[:, None, None]
@@ -572,6 +578,9 @@ def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
         t_final,                                     # (T,256,1)
         jnp.zeros((tiles_x * tiles_y, PIX, 2)),
     ], axis=-1)
+    # guard row for padding work items (they read tile index T and skip)
+    cot_tiles = jnp.concatenate(
+        [cot_tiles, jnp.zeros((1, PIX, 8))], axis=0)
 
     pair_grads = backward_tiles_pallas(pairs, cot_tiles, tiles_x=tiles_x,
                                        tiles_y=tiles_y, interpret=interpret)

@@ -169,10 +169,19 @@ def parse_scan(scan_v: np.ndarray, scan_f: np.ndarray, cameras, masks: List[np.n
 
 
 def post_process(target_root, template_out, cameras=None, garment_masks=None,
-                 poisson_depth: int = 13, remesh_faces: int = 8000) -> None:
+                 poisson_depth: int = 13, remesh_faces: int = 8000,
+                 grid_res: Optional[int] = None) -> None:
     """fused.ply -> filtered cloud -> Poisson mesh -> garment segmentation ->
-    remeshed template (reference post_process :109-173). Poisson/remesh use
-    open3d/pyacvd when available."""
+    remeshed template (reference post_process :109-173).
+
+    Meshing is fully native (``stages.meshing``): FFT screened Poisson +
+    SurfaceNets + clustering remesh — no open3d/pyacvd. ``grid_res`` defaults
+    to 2^min(poisson_depth, 8): the reference's octree depth 13 refines only
+    near the surface; a dense 256³ grid at the template's scale matches its
+    effective resolution for an 8k-face target.
+    """
+    from gaussian_garments_tpu.stages.meshing import largest_component, \
+        cluster_remesh, estimate_normals, poisson_indicator, surface_nets
     from gaussian_garments_tpu.utils.io import fetch_ply, store_ply
 
     target_root = Path(target_root)
@@ -180,44 +189,25 @@ def post_process(target_root, template_out, cameras=None, garment_masks=None,
     points, colors = filter_green_and_outliers(np.asarray(pc.points), np.asarray(pc.colors))
     store_ply(target_root / "point_cloud.ply", points, colors * 255)
 
-    try:
-        import open3d as o3d
-    except ImportError as e:
-        raise RuntimeError(
-            "stage-1 Poisson meshing needs open3d (the reference's own "
-            "dependency); install it or provide template_uv.obj directly "
-            "(README.md routes ActorsHQ users around stage 1)") from e
+    res = grid_res or (1 << min(poisson_depth, 8))
+    normals = estimate_normals(points.astype(np.float32))
+    chi, _, iso, origin_scale = poisson_indicator(points.astype(np.float32),
+                                                  normals, res=res)
+    verts, faces = surface_nets(chi, iso, origin_scale)
+    if len(faces) == 0:
+        raise RuntimeError("stage-1 Poisson produced no iso-surface; check "
+                           "the fused cloud density")
+    verts, faces = largest_component(verts, faces)
 
-    pcd = o3d.geometry.PointCloud()
-    pcd.points = o3d.utility.Vector3dVector(points.astype(np.float64))
-    pcd.estimate_normals()
-    mesh, _ = o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(pcd, depth=poisson_depth)
-    tri_clusters, cluster_n, _ = mesh.cluster_connected_triangles()
-    largest = int(np.argmax(cluster_n))
-    mesh.remove_triangles_by_mask(np.asarray(tri_clusters) != largest)
-    mesh.remove_unreferenced_vertices()
-
-    verts = np.asarray(mesh.vertices)
-    faces = np.asarray(mesh.triangles)
     if cameras is not None and garment_masks is not None:
         prob = parse_scan(verts, faces, cameras, garment_masks)
         keep_v = prob > 0.5
         remap = np.cumsum(keep_v) - 1
         keep_f = keep_v[faces].all(axis=1)
         verts, faces = verts[keep_v], remap[faces[keep_f]]
+        verts, faces = largest_component(verts, faces)
 
-    try:
-        import pyacvd
-        import pyvista as pv
-        grid = pv.PolyData(verts, np.hstack([np.full((len(faces), 1), 3), faces]).ravel())
-        clus = pyacvd.Clustering(grid)
-        clus.cluster(remesh_faces)
-        remeshed = clus.create_mesh()
-        verts = np.asarray(remeshed.points)
-        faces = remeshed.faces.reshape(-1, 4)[:, 1:]
-    except ImportError:
-        print("[stage1] pyacvd unavailable — writing the un-remeshed template "
-              "(UV-unwrap it in Blender per README.md:73)")
+    verts, faces = cluster_remesh(verts, faces, remesh_faces)
 
     from gaussian_garments_tpu.utils.io import write_obj
     write_obj({"vertices": verts, "faces": faces}, Path(template_out) / "template.obj")

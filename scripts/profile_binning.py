@@ -176,6 +176,37 @@ def _measure():
     cfg = RasterConfig(backend="pallas")
     full = jax.jit(lambda b: render(cam, b, jnp.zeros(3), config=cfg)["render"])
     print(f"full    {_timeit(full, bundle):8.2f} ms", flush=True)
+
+    def loss(b):
+        out = render(cam, b, jnp.zeros(3), config=cfg)
+        return out["render"].mean() + out["alpha"].mean()
+
+    fwdbwd = jax.jit(jax.grad(lambda b: loss(b)))
+    print(f"fwd+bwd {_timeit(fwdbwd, bundle):8.2f} ms", flush=True)
+
+    bwd_pairs = jax.jit(lambda pr, ct: PT.backward_tiles_pallas(
+        pr, ct, tiles_x=tiles_x, tiles_y=tiles_y))
+    cot = jnp.zeros((tiles_x * tiles_y + 1, 256, 8))
+    print(f"bwdkern {_timeit(bwd_pairs, pairs, cot):8.2f} ms", flush=True)
+
+    pg = bwd_pairs(pairs, cot)
+
+    def segsum(pgr, prs):
+        npr = prs.sorted_rank.shape[0]
+        data = pgr[0:10, :npr].T
+        total_pairs = jnp.sum(prs.counts)
+        ids = jnp.where(jnp.arange(npr) < total_pairs, prs.sorted_rank, N_SPLATS)
+        seg = jax.ops.segment_sum(data, ids, num_segments=N_SPLATS + 1)[:N_SPLATS]
+        return jnp.take(seg, prs.rank, axis=0)
+
+    print(f"segsum  {_timeit(jax.jit(segsum), pg, pairs):8.2f} ms  "
+          f"(2.1M x 10 rows -> 150K)", flush=True)
+
+    def tileimg(g):
+        return PT._tile_img(g, tiles_x, tiles_y)
+
+    g5 = jnp.zeros((5, HEIGHT, WIDTH))
+    print(f"tileimg {_timeit(jax.jit(tileimg), g5):8.2f} ms", flush=True)
     print("PROFILE_DONE", flush=True)
 
 

@@ -1,0 +1,86 @@
+"""Render quality parity: PSNR of the production Pallas backend against the
+mathematically-identical XLA ``tiled`` oracle at 1080p/150K (the tiled path
+itself is verified against the exact per-pixel reference at test sizes in
+tests/test_pallas.py / test_rasterizer.py), plus a direct pallas-vs-exact
+check at 512²/20K where the per-pixel oracle is tractable.
+
+BASELINE.md target: ≤0.1 dB PSNR delta vs the CUDA reference class.
+Prints one JSON line: {"psnr_1080p_vs_tiled": ..., "psnr_512_vs_exact": ...}.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _measure():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_garment_splats
+    from gaussian_garments_tpu.ops.rasterizer_ref import rasterize_reference
+    from gaussian_garments_tpu.renderer import RasterConfig, SplatBundle, render
+    from gaussian_garments_tpu.utils.camera import make_camera
+    from gaussian_garments_tpu.utils.quality import image_metrics
+
+    out = {}
+    rng = np.random.RandomState(0)
+
+    # --- 1080p / 150K: pallas vs tiled (identical math, different kernels) ---
+    W, H = 1920, 1080
+    means, scales, rots, opac, shs = build_garment_splats(150_000, rng)
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 2.2]), fx=2200.0, fy=2200.0,
+                      cx=W / 2, cy=H / 2, width=W, height=H)
+    bundle = SplatBundle(
+        means3d=jnp.asarray(means), opacity=jnp.asarray(opac),
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        shs=jnp.asarray(shs), active_sh_degree=0)
+    bg = jnp.zeros(3)
+
+    img_p = jax.jit(lambda b: render(
+        cam, b, bg, config=RasterConfig(backend="pallas"))["render"])(bundle)
+    img_t = jax.jit(lambda b: render(
+        cam, b, bg, config=RasterConfig(backend="tiled", tile_capacity=1024))["render"])(bundle)
+    m = image_metrics(img_p, jnp.clip(img_t, 0, 1))
+    out["psnr_1080p_vs_tiled"] = round(m["psnr"], 2)
+
+    # --- 512² / 20K: pallas (compiled) vs exact per-pixel reference ---
+    W2 = H2 = 512
+    means, scales, rots, opac, shs = build_garment_splats(20_000, rng)
+    cam2 = make_camera(np.eye(3), np.array([0.0, 0.0, 2.2]), fx=600.0, fy=600.0,
+                       cx=W2 / 2, cy=H2 / 2, width=W2, height=H2)
+    b2 = SplatBundle(
+        means3d=jnp.asarray(means), opacity=jnp.asarray(opac),
+        scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+        shs=jnp.asarray(shs), active_sh_degree=0)
+    img_p2 = jax.jit(lambda b: render(
+        cam2, b, bg, config=RasterConfig(backend="pallas"))["render"])(b2)
+    img_r2 = jax.jit(lambda b: render(
+        cam2, b, bg, config=RasterConfig(backend="reference"))["render"])(b2)
+    m2 = image_metrics(img_p2, jnp.clip(img_r2, 0, 1))
+    out["psnr_512_vs_exact"] = round(m2["psnr"], 2)
+
+    print("GG_QUALITY " + json.dumps(out), flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _measure()
+        return
+    for attempt in range(3):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
+                           capture_output=True, text=True, timeout=900)
+        for line in r.stdout.splitlines():
+            if line.startswith("GG_QUALITY"):
+                print(line.split(" ", 1)[1])
+                return
+        sys.stderr.write(r.stderr[-2000:])
+        print(f"[quality] attempt {attempt} incomplete; retrying", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
