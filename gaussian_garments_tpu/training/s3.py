@@ -10,7 +10,8 @@ TPU redesign (SURVEY.md §2.6): the reference trains bs=1 with a CPU-side
 DataLoader; here the step takes a **batch of items** (one per chip when
 sharded over the "data" mesh axis) and vmaps the whole per-item forward
 (net + render), pmean-ing gradients over ICI. Visibility uses the in-jit
-face-id raster (``avatar_gaussian.get_visible_mask_raster``).
+per-texel depth-buffer test (``avatar_gaussian.get_visible_mask_depth``),
+the shadow-map equivalent of the reference's per-texel ray cast.
 
 Phases: epoch-1 pre-train freezes the splat tensors (s3_appearance.py:110-113)
 — a separate compiled step that only updates the net, exactly like torch Adam
@@ -115,7 +116,7 @@ def _s3_forward(net, net_vars, splats, bind, mesh_f, item_row, *,
     rotations = MG.world_rotation(splats, bind.binding, frames)
     opacity = G.get_opacity(splats).reshape(-1)
 
-    vis = AG.get_visible_mask_raster(
+    vis = AG.get_visible_mask_depth(
         bind, mesh_v, mesh_f, item_row["world_view"], item_row["full_proj"],
         image_width=vis_raster_hw[1], image_height=vis_raster_hw[0])
     opacity = opacity * vis.astype(opacity.dtype)

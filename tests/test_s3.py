@@ -143,6 +143,44 @@ def _build_state(scene, binding, rng):
     return net, state, item, jnp.asarray(faces.astype(np.int32))
 
 
+class TestVisibility:
+    """Per-texel visibility: the depth-buffer test must agree with the exact
+    ray cast (reference avatar_gaussian_model.py:227-263) and beat the old
+    face-granular raster approximation under partial occlusion."""
+
+    def _occluded_scene(self, scene, binding):
+        cams, verts, faces, uvs, colors = scene
+        bind, _ = binding
+        cam = cams[0]
+        # occluder: a copy of the sheet, pushed 30% of the way toward the
+        # camera and shifted to cover roughly half the garment
+        center = verts.mean(axis=0)
+        toward = np.asarray(cam.camera_center) - center
+        occ_v = verts + 0.3 * toward[None, :] + np.array([0.35, 0.0, 0.0], np.float32)
+        all_v = jnp.asarray(np.concatenate([verts, occ_v]).astype(np.float32))
+        all_f = jnp.concatenate([
+            jnp.asarray(faces.astype(np.int32)),
+            jnp.asarray(faces.astype(np.int32)) + len(verts)])
+        return cam, all_v, all_f, bind
+
+    def test_depth_matches_exact_raycast(self, scene, binding):
+        cam, all_v, all_f, bind = self._occluded_scene(scene, binding)
+        exact = np.asarray(AG.get_visible_mask_exact(
+            bind, all_v, all_f, cam.camera_center))
+        depth = np.asarray(AG.get_visible_mask_depth(
+            bind, all_v, all_f, cam.world_view_transform, cam.full_proj_transform,
+            image_width=256, image_height=256))
+        raster = np.asarray(AG.get_visible_mask_raster(
+            bind, all_v, all_f, cam.world_view_transform, cam.full_proj_transform,
+            image_width=256, image_height=256))
+        assert 0.05 < exact.mean() < 0.95          # real occlusion in the scene
+        agree_depth = (depth == exact).mean()
+        agree_raster = (raster == exact).mean()
+        assert agree_depth > 0.93
+        assert agree_depth >= agree_raster         # strictly better than the approx
+        print(f"visibility agreement: depth={agree_depth:.4f} raster={agree_raster:.4f}")
+
+
 class TestS3Step:
     def test_step_runs_and_converges(self, scene, binding, rng):
         net, state, item, f32 = _build_state(scene, binding, rng)
