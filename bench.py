@@ -109,6 +109,9 @@ def main():
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(ASSUMED_BASELINE_MS / ms, 4),
+        "baseline_note": f"denominator is an ASSUMED {ASSUMED_BASELINE_MS:g} ms "
+                         "CUDA forward (the reference publishes no numbers; "
+                         "BASELINE.md) — read `value` as the ground truth",
     }))
 
 

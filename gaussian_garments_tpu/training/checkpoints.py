@@ -4,8 +4,11 @@ Reference ``AvatarNet.save_ckpt/load_ckpt`` (scene/avatar_net.py:89-131):
 ``ckpt/net.pt`` (epoch, active_sh_degree, state_dict) + ``ckpt/optm.pt`` +
 ``info.txt``, with auto-resume when ``ckpt/net.pt`` exists (:52-53). We keep
 the same directory layout with pickled numpy pytrees (``net.pkl``/
-``optm.pkl``) — framework-neutral and orbax-free so checkpoints remain
-readable without JAX.
+``optm.pkl``) — framework-neutral so checkpoints remain readable without JAX.
+
+An **orbax** backend (``backend="orbax"``) is available for long s3 runs:
+sharding-aware, atomic-rename durable, and optionally **async** (the save
+overlaps the next training steps; call :func:`wait_for_saves` before exit).
 """
 from __future__ import annotations
 
@@ -22,13 +25,60 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+_ASYNC_CKPTR = None          # lazily-built orbax AsyncCheckpointer (reused)
+
+
+def _state_tree(state, epoch: int, active_sh_degree: int, save_optm: bool):
+    tree = {
+        "epoch": np.int64(epoch),
+        "activate_sh_degree": np.int64(active_sh_degree),
+        "net_params": _to_numpy(state.net_params),
+        "net_buffers": _to_numpy(state.net_buffers),
+        "splats": _to_numpy(state.splats),
+    }
+    if save_optm:
+        tree["net_adam"] = _to_numpy(state.net_adam)
+        tree["splat_adam"] = _to_numpy(state.splat_adam)
+        tree["iteration"] = np.int64(state.iteration)
+    return tree
+
+
+def _save_orbax(path: Path, state, epoch, active_sh_degree, save_optm,
+                async_save: bool) -> None:
+    global _ASYNC_CKPTR
+    import orbax.checkpoint as ocp
+
+    tree = _state_tree(state, epoch, active_sh_degree, save_optm)
+    target = (path / "net.orbax").absolute()
+    if async_save:
+        if _ASYNC_CKPTR is None:
+            _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC_CKPTR.save(target, args=ocp.args.StandardSave(tree), force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(target, tree, force=True)
+        ckptr.wait_until_finished()
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async orbax save has committed (call before
+    process exit or before reading the checkpoint back)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_s3_ckpt(model_path, state, epoch: int, active_sh_degree: int = 3,
-                 save_optm: bool = True, name: str = "ckpt") -> None:
-    """state: training.s3.S3State."""
+                 save_optm: bool = True, name: str = "ckpt",
+                 backend: str = "pickle", async_save: bool = False) -> None:
+    """state: training.s3.S3State. ``backend``: "pickle" (default, reference
+    layout) or "orbax" (+ ``async_save`` to overlap the write with training)."""
     path = Path(model_path) / name
     os.makedirs(path, exist_ok=True)
     with open(path / "info.txt", "w") as f:
         f.write(f"Epoch {epoch}\n")
+    if backend == "orbax":
+        return _save_orbax(path, state, epoch, active_sh_degree, save_optm,
+                           async_save)
     net = {
         "epoch": epoch,
         "activate_sh_degree": active_sh_degree,
@@ -46,17 +96,31 @@ def save_s3_ckpt(model_path, state, epoch: int, active_sh_degree: int = 3,
 
 
 def load_s3_ckpt(model_path, name: str = "ckpt") -> Dict:
-    """Returns the pickled dict (epoch, net_params, net_buffers, splats[,
-    optimizer states]); raises FileNotFoundError if absent."""
-    path = Path(model_path) / name
-    with open(path / "net.pkl", "rb") as f:
-        net = pickle.load(f)
-    optm_path = path / "optm.pkl"
-    if optm_path.exists():
-        with open(optm_path, "rb") as f:
-            net.update(pickle.load(f))
+    """Returns the checkpoint dict (epoch, net_params, net_buffers, splats[,
+    optimizer states]); raises FileNotFoundError if absent. Reads whichever
+    backend wrote the checkpoint (orbax dir preferred if both exist)."""
     import jax.numpy as jnp
     from gaussian_garments_tpu.models.gaussian import GaussianParams
+
+    path = Path(model_path) / name
+    orbax_dir = path / "net.orbax"
+    if orbax_dir.exists():
+        import orbax.checkpoint as ocp
+        wait_for_saves()
+        net = ocp.StandardCheckpointer().restore(orbax_dir.absolute())
+        # orbax restores NamedTuples as plain dicts without a template
+        if isinstance(net.get("splats"), dict):
+            net["splats"] = GaussianParams(**net["splats"])
+        for k in ("epoch", "activate_sh_degree", "iteration"):
+            if k in net:
+                net[k] = int(net[k])
+    else:
+        with open(path / "net.pkl", "rb") as f:
+            net = pickle.load(f)
+        optm_path = path / "optm.pkl"
+        if optm_path.exists():
+            with open(optm_path, "rb") as f:
+                net.update(pickle.load(f))
     if isinstance(net.get("splats"), GaussianParams):
         net["splats"] = jax.tree.map(jnp.asarray, net["splats"])
     net["net_params"] = jax.tree.map(jnp.asarray, net["net_params"])
@@ -65,7 +129,8 @@ def load_s3_ckpt(model_path, name: str = "ckpt") -> Dict:
 
 
 def has_s3_ckpt(model_path, name: str = "ckpt") -> bool:
-    return (Path(model_path) / name / "net.pkl").exists()
+    path = Path(model_path) / name
+    return (path / "net.pkl").exists() or (path / "net.orbax").exists()
 
 
 def capture(state) -> Dict:

@@ -62,11 +62,21 @@ def main():
     parser.add_argument("--start_from", type=int, default=-1)
     parser.add_argument("--use_icp", action="store_true")
     parser.add_argument("--camera", default="PINHOLE", type=str)
-    # TPU additions (do not change reference semantics at defaults)
-    parser.add_argument("--cameras_per_step", type=int, default=1)
+    # TPU additions. Defaults tuned for registered-frames/hour on TPU
+    # (BASELINE.json north star); reference-equivalent sampling is
+    # ``--cameras_per_step 1 --early_stop_rel 0`` (PARITY.md "TPU defaults").
+    parser.add_argument("--cameras_per_step", type=int, default=4,
+                        help="cameras consumed per jitted step (the reference "
+                             "samples 1/iteration; 4 keeps the MXU fed)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the camera batch over all local devices "
                              "(cameras_per_step must be a multiple of the device count)")
+    parser.add_argument("--early_stop_rel", type=float, default=5e-4,
+                        help="sequence-frame plateau early-stop: end the phase "
+                             "when the windowed total loss improves by less "
+                             "than this relative amount; 0 disables")
+    parser.add_argument("--early_stop_window", type=int, default=200,
+                        help="iterations per plateau-detection window")
     args = parser.parse_args(sys.argv[1:])
 
     args.sh_degree = 0      # reference hard-override (s2_registration.py:158)
@@ -198,6 +208,14 @@ def main():
         metrics_log = MetricLogger(str(stage2_path / "logs" / f"frame_{t:05d}.jsonl"))
         timer = StepTimer()
         viewpoint_stack = []
+        # plateau early-stop (sequence frames only): warm starts mean most
+        # frames converge well before other_frame_iterations; sample the total
+        # loss sparsely (device syncs are ~ms through the tunnel) and compare
+        # windowed averages. On plateau: skip ahead to the collision phase if
+        # it hasn't run yet, else end the frame.
+        plateau_on = (args.early_stop_rel > 0) and not is_ff
+        check_every = 25
+        hist, prev_avg = [], None
         it = 0
         while it < iterations:
             it += 1
@@ -240,6 +258,24 @@ def main():
             if it % 500 == 0 or it == iterations:
                 print(f"[frame {t} iter {it}/{iterations}] "
                       + " ".join(f"{k}={float(v):.5f}" for k, v in loss_dict.items()))
+
+            if plateau_on and it % check_every == 0:
+                hist.append(sum(float(v) for v in loss_dict.values()))
+                if len(hist) * check_every >= args.early_stop_window:
+                    avg, hist = float(np.mean(hist)), []
+                    flat = prev_avg is not None and \
+                        (prev_avg - avg) < args.early_stop_rel * abs(prev_avg)
+                    prev_avg = avg
+                    if flat:
+                        body_start = iterations - collision_iteration
+                        if not use_body and it < body_start and collision_iteration > 0:
+                            print(f"[frame {t}] plateau at iter {it}; "
+                                  f"skipping to collision phase ({body_start})")
+                            it = body_start
+                            prev_avg = None   # loss scale changes with body terms
+                        else:
+                            print(f"[frame {t}] plateau at iter {it}; early stop")
+                            break
 
         # save artifacts
         frames = MG.compute_face_frames(state.mesh.v, state.mesh.f)

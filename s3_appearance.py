@@ -75,6 +75,10 @@ def main():
                              "(items_per_step must be a device-count multiple)")
     parser.add_argument("--eval_items", type=int, default=4,
                         help="held-out items rendered for PSNR/SSIM at save points")
+    parser.add_argument("--ckpt_backend", type=str, default="pickle",
+                        choices=("pickle", "orbax"),
+                        help="orbax = sharding-aware + async saves overlapping "
+                             "training (training/checkpoints.py)")
     args = parser.parse_args(sys.argv[1:])
 
     if len(args.subject_out) == 0:
@@ -205,17 +209,26 @@ def main():
                 _save_debug_textures(net, state, bind, mesh_f, item, stage3_path,
                                      epoch, it)
             if it > 0 and it % args.save_iterations == 0:
-                save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
+                # mid-epoch saves are async under orbax: the write overlaps
+                # the next training steps
+                save_s3_ckpt(stage3_path, state, epoch,
+                             active_sh_degree=args.sh_degree,
+                             backend=args.ckpt_backend,
+                             async_save=args.ckpt_backend == "orbax")
                 q = eval_quality()
                 if q:
                     metrics_log.log(global_it, q, epoch=epoch)
                     print(f"[epoch {epoch}] " + " ".join(f"{k}={v:.3f}" for k, v in q.items()))
-        save_s3_ckpt(stage3_path, state, epoch, active_sh_degree=args.sh_degree)
+        save_s3_ckpt(stage3_path, state, epoch,
+                     active_sh_degree=args.sh_degree, backend=args.ckpt_backend)
         q = eval_quality()
         if q:
             metrics_log.log(global_it, q, epoch=epoch)
             print(f"[epoch {epoch}] " + " ".join(f"{k}={v:.3f}" for k, v in q.items()))
     metrics_log.close()
+    if args.ckpt_backend == "orbax":
+        from gaussian_garments_tpu.training.checkpoints import wait_for_saves
+        wait_for_saves()
 
     print("\nTraining complete.")
 

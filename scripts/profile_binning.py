@@ -215,10 +215,14 @@ def main():
         _measure()
         return
     for attempt in range(3):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            capture_output=True, text=True, timeout=900,
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                capture_output=True, text=True, timeout=420,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[profile] attempt {attempt} wedged (timeout)", file=sys.stderr)
+            continue
         sys.stdout.write(r.stdout)
         if "PROFILE_DONE" in r.stdout:
             return

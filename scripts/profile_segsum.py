@@ -1,0 +1,113 @@
+"""Variants for the backward's pair-grad -> per-splat reduction on TPU.
+
+The baseline ``jax.ops.segment_sum`` over 2.1M unsorted rank ids costs ~35 ms
+(scatter-add serialization). Candidates:
+  seg      baseline segment_sum (unsorted ids)
+  sortp    (ids, pos) key+payload sort
+  rowg     (NP,10) row gather by pos (puts grads in rank-major order)
+  segs     segment_sum with indices_are_sorted=True on the re-sorted ids
+  cums     cumsum + boundary lower_bound + diff (fully sorted path)
+  permset  permutation .at[pos].set (unique indices, no accumulation)
+
+Run: python scripts/profile_segsum.py          (spawns a TPU child w/ timeout)
+"""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 150_000
+NP = 2_097_152
+ITERS = 20
+
+
+def _timeit(fn, *args, iters=ITERS):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    float(np.asarray(leaves[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    float(np.asarray(leaves[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def _measure():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    # tile-major rank ids: piecewise-ascending runs like the real sorted pairs
+    ids_np = np.sort(rng.randint(0, N, (8160, 260)), axis=1).reshape(-1)[:NP]
+    ids = jnp.asarray(ids_np.astype(np.int32))
+    data = jnp.asarray(rng.randn(NP, 10).astype(np.float32))
+
+    def f_seg(d, i):
+        return jax.ops.segment_sum(d, i, num_segments=N + 1)[:N]
+    print(f"seg      {_timeit(jax.jit(f_seg), data, ids):8.2f} ms", flush=True)
+
+    def f_sortp(i):
+        return jax.lax.sort((i, jnp.arange(NP, dtype=jnp.int32)), num_keys=1)
+    skey, spos = jax.jit(f_sortp)(ids)
+    print(f"sortp    {_timeit(jax.jit(f_sortp), ids):8.2f} ms", flush=True)
+
+    def f_rowg(d, p):
+        return jnp.take(d, p, axis=0)
+    data_rm = jax.jit(f_rowg)(data, spos)
+    print(f"rowg     {_timeit(jax.jit(f_rowg), data, spos):8.2f} ms", flush=True)
+
+    def f_segs(d, i):
+        return jax.ops.segment_sum(d, i, num_segments=N + 1,
+                                   indices_are_sorted=True)[:N]
+    print(f"segs     {_timeit(jax.jit(f_segs), data_rm, skey):8.2f} ms", flush=True)
+
+    from gaussian_garments_tpu.ops.pallas_tiles import _lower_bound
+
+    def f_cums(d, sk):
+        c = jnp.cumsum(d, axis=0)
+        b = _lower_bound(sk, jnp.arange(N + 1, dtype=jnp.int32))
+        c0 = jnp.concatenate([jnp.zeros((1, 10)), c], axis=0)
+        return jnp.take(c0, b[1:], axis=0) - jnp.take(c0, b[:-1], axis=0)
+    print(f"cums     {_timeit(jax.jit(f_cums), data_rm, skey):8.2f} ms", flush=True)
+
+    def f_permset(d, p):
+        return jnp.zeros((NP, 10)).at[p].set(d, unique_indices=True)
+    print(f"permset  {_timeit(jax.jit(f_permset), data, spos):8.2f} ms", flush=True)
+
+    # correctness cross-check of the full sorted pipeline vs baseline
+    def full_sorted(d, i):
+        sk, sp = jax.lax.sort((i, jnp.arange(NP, dtype=jnp.int32)), num_keys=1)
+        drm = jnp.take(d, sp, axis=0)
+        return f_segs(drm, sk)
+    a = np.asarray(jax.jit(f_seg)(data, ids))
+    b = np.asarray(jax.jit(full_sorted)(data, ids))
+    print(f"maxdiff(sorted vs base) {np.abs(a - b).max():.2e}", flush=True)
+    c = np.asarray(jax.jit(f_cums)(data_rm, skey))
+    print(f"maxdiff(cums vs base)   {np.abs(a - c).max():.2e}", flush=True)
+
+    print("PROFILE_DONE", flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _measure()
+        return
+    for attempt in range(3):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
+                           capture_output=True, text=True, timeout=900)
+        sys.stdout.write(r.stdout)
+        if "PROFILE_DONE" in r.stdout:
+            return
+        sys.stderr.write(r.stderr[-2000:])
+        print(f"[profile] attempt {attempt} incomplete; retrying", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,7 @@ import struct
 import threading
 
 import numpy as np
+import pytest
 
 from gaussian_garments_tpu.ops import icp as ICP
 from gaussian_garments_tpu.utils import colmap as CM
@@ -154,3 +155,29 @@ class TestS3Checkpoint:
         assert ck["epoch"] == 2
         np.testing.assert_allclose(np.asarray(ck["net_params"]["w"]), 1.0)
         np.testing.assert_allclose(np.asarray(ck["splats"].features_dc), 1.0)
+
+    @pytest.mark.parametrize("async_save", [False, True])
+    def test_roundtrip_orbax(self, tmp_path, async_save):
+        import jax.numpy as jnp
+        from types import SimpleNamespace
+        from gaussian_garments_tpu.models import gaussian as G
+        from gaussian_garments_tpu.models.adam import tree_adam_init
+        from gaussian_garments_tpu.training import checkpoints as C
+
+        splats = G.GaussianParams(
+            xyz=jnp.arange(15.0).reshape(5, 3), features_dc=jnp.ones((5, 1, 3)),
+            features_rest=jnp.zeros((5, 3, 3)), scaling=jnp.zeros((5, 3)),
+            rotation=jnp.zeros((5, 4)), opacity=jnp.zeros((5, 1)))
+        state = SimpleNamespace(
+            net_params={"w": jnp.full((2, 2), 3.0)}, net_buffers={"n": jnp.zeros(3)},
+            splats=splats, net_adam=tree_adam_init({"w": jnp.ones((2, 2))}),
+            splat_adam=tree_adam_init(splats), iteration=jnp.int32(7))
+        C.save_s3_ckpt(tmp_path, state, epoch=4, backend="orbax",
+                       async_save=async_save)
+        C.wait_for_saves()
+        assert C.has_s3_ckpt(tmp_path)
+        ck = C.load_s3_ckpt(tmp_path)
+        assert ck["epoch"] == 4 and ck["iteration"] == 7
+        np.testing.assert_allclose(np.asarray(ck["net_params"]["w"]), 3.0)
+        np.testing.assert_allclose(np.asarray(ck["splats"].xyz),
+                                   np.arange(15.0).reshape(5, 3))
