@@ -120,34 +120,94 @@ def pack_pairs(
     side = max_tiles_side
 
     r = radii.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + TILE - 1) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + TILE - 1) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    # ---- opacity-aware per-axis tight extents (EXACT culling) ----
+    # The kernel zeroes any contribution with alpha < ALPHA_EPS, and
+    # alpha = opac·exp(−½dᵀCd) with C = conic, so pairs outside the level set
+    # ½dᵀCd = ln(opac/ALPHA_EPS) are identically zero in the composite. The
+    # ellipse's per-axis extent is √(2τ·(C⁻¹)ₐₐ); the reference's 3σ circular
+    # rect (`radii`) stays as the outer clamp, so this only removes exact
+    # zeros (reference CUDA uses the plain 3σ rect). Big win after opacity
+    # resets in s2 (opac 0.01 → extents shrink ~2.2×/axis) and for s3
+    # visibility masking (opac 0 → no pairs at all).
+    ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    det = ca * cc - cb * cb
+    tau2 = 2.0 * jnp.log(jnp.maximum(proj.opacity, 1e-12) / ALPHA_EPS)
+    good = jnp.isfinite(det) & (det > 1e-24) & jnp.isfinite(tau2)
+    ex = jnp.where(good, jnp.sqrt(jnp.maximum(tau2 * cc, 0.0) /
+                                  jnp.maximum(det, 1e-24)), r)
+    ey = jnp.where(good, jnp.sqrt(jnp.maximum(tau2 * ca, 0.0) /
+                                  jnp.maximum(det, 1e-24)), r)
+    ex = jnp.minimum(jnp.where(jnp.isfinite(ex), ex, r), r)
+    ey = jnp.minimum(jnp.where(jnp.isfinite(ey), ey, r), r)
 
-    alive = radii > 0
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - ex) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ey) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + ex + TILE - 1) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ey + TILE - 1) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+
+    alive = (radii > 0) & (proj.opacity >= ALPHA_EPS)
     n_clipped = jnp.sum((alive & (((x1 - x0) > side) | ((y1 - y0) > side))).astype(jnp.int32))
 
     order = jnp.argsort(depth)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
-    off = jnp.arange(side * side, dtype=jnp.int32)
-    tx = x0[:, None] + (off % side)[None, :]
-    ty = y0[:, None] + (off // side)[None, :]
-    pair_valid = alive[:, None] & (tx < x1[:, None]) & (ty < y1[:, None])
-    tile_id = jnp.where(pair_valid, ty * tiles_x + tx, num_tiles)
+    if n <= (1 << RANK_BITS) and num_tiles < (1 << (31 - RANK_BITS)) and side <= 7:
+        # ---- compact generation, RANK-MAJOR: emit exactly the valid pairs
+        # (sorting all N·side² candidate slots costs ~2.6× more at 150K
+        # splats / side=6), iterating splats in depth-rank order so that
+        # per-pair metadata is a segment-constant broadcast — done with one
+        # N-row delta scatter + one (NP,3) cumsum instead of a 2.1M row
+        # gather (~13 ms, which would eat the whole sort saving;
+        # MEASUREMENTS.md "binning decomposition").
+        # side must fit the 3-bit width field in ``meta``. ----
+        w = jnp.minimum(jnp.maximum(x1 - x0, 0), side)
+        h = jnp.minimum(jnp.maximum(y1 - y0, 0), side)
+        area = jnp.where(alive, w * h, 0)
+        # permute per-splat tables into rank order (cheap N-row gathers)
+        area_r = area[order]
+        meta_r = (((y0 * tiles_x + x0) << 6) | (w << 3))[order]
+        base_r = (jnp.cumsum(area_r) - area_r).astype(jnp.int32)   # exclusive
+        n_valid = base_r[-1] + area_r[-1]
+        np_slots = min(pair_budget, n * side * side)
 
-    if n <= (1 << RANK_BITS) and num_tiles < (1 << (31 - RANK_BITS)):
-        # fused single int32 key, no payload
-        key = (tile_id << RANK_BITS) | rank[:, None]
-        sorted_key = jax.lax.sort(key.reshape(-1))
-        n_valid = _lower_bound(
-            sorted_key, jnp.full((1,), num_tiles << RANK_BITS, jnp.int32))[0]
-        sorted_key = sorted_key[:pair_budget]
+        # segment-constant per-pair values via delta scatter + cumsum:
+        # rows = [packed geometry, base offset, rank]; the rank column's
+        # deltas are +1 per splat (generation is rank-major), making rk the
+        # segment index itself
+        vals = jnp.stack(
+            [meta_r, base_r, jnp.arange(n, dtype=jnp.int32)], axis=1)  # (N,3)
+        delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
+        grid = jnp.zeros((np_slots, 3), jnp.int32).at[base_r].add(
+            delta, mode="drop", indices_are_sorted=True)
+        g = jnp.cumsum(grid, axis=0)                           # (NP, 3)
+        ms, bs, rk = g[:, 0], g[:, 1], g[:, 2]
+
+        # in-rect coords without an integer divide: jy = j // w via a
+        # side-step comparison ladder (w <= side, small constant)
+        p_iota = jnp.arange(np_slots, dtype=jnp.int32)
+        j = p_iota - bs
+        ws = (ms >> 3) & 0x7
+        jy = jnp.zeros_like(j)
+        for k in range(1, side):
+            jy += (j >= k * ws).astype(jnp.int32)
+        jx = j - jy * ws
+        tile = (ms >> 6) + jy * tiles_x + jx
+
+        # junk slots (p >= n_valid) sort to the very end in BOTH tile-major
+        # (tile = num_tiles) and rank-major (rank bits = RANK_MASK) order
+        p_valid = p_iota < n_valid
+        key = jnp.where(p_valid, (tile << RANK_BITS) | rk,
+                        (num_tiles << RANK_BITS) | RANK_MASK)
+        sorted_key = jax.lax.sort(key)
         sorted_rank = sorted_key & RANK_MASK
         bound_q = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << RANK_BITS)
         bounds = _lower_bound(sorted_key, bound_q)
     else:
+        off = jnp.arange(side * side, dtype=jnp.int32)
+        tx = x0[:, None] + (off % side)[None, :]
+        ty = y0[:, None] + (off // side)[None, :]
+        pair_valid = alive[:, None] & (tx < x1[:, None]) & (ty < y1[:, None])
+        tile_id = jnp.where(pair_valid, ty * tiles_x + tx, num_tiles)
         sorted_tile, sorted_rank, _ = jax.lax.sort(
             (tile_id.reshape(-1), jnp.broadcast_to(rank[:, None], tile_id.shape).reshape(-1),
              jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], tile_id.shape).reshape(-1)),
@@ -197,7 +257,10 @@ def pack_pairs(
         proj.depth,
         zrow, zrow, zrow, zrow, zrow, zrow,
     ], axis=1)[order]                                   # (N, 16), rank order
-    feats_t = jnp.take(feats_rows, sorted_rank, axis=0).T   # OOB ranks clamp
+    # junk ranks (RANK_MASK) MUST clamp, not NaN-fill (jnp.take's default):
+    # the kernel masks junk lanes to zero contribution, but 0 × NaN = NaN
+    # inside the accumulation matmuls
+    feats_t = jnp.take(feats_rows, sorted_rank, axis=0, mode="clip").T
     # pad to exactly n_blocks·CHUNK columns: the last block is a zero guard
     feats_t = jnp.pad(feats_t, ((0, 0), (0, n_blocks * CHUNK - np_real)))
 
@@ -205,7 +268,8 @@ def pack_pairs(
         feats_t,
         jnp.concatenate([starts, jnp.zeros((1,), jnp.int32)]),
         jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)]),
-        chunk_of_item, tile_of_item, k_of_item, sorted_rank, rank, n_valid, n_clipped)
+        chunk_of_item, tile_of_item, k_of_item, sorted_rank, rank, n_valid,
+        n_clipped)
 
 
 def _composite_kernel(
@@ -377,12 +441,13 @@ def _backward_kernel(
 
     @pl.when(count > 0)
     def _():
-        _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
-                       grad_ref, t_ref, s_ref)
+        add, _ = _backward_body(tile, chunk, start, count, tiles_x, chunk_in,
+                                cot, t_ref, s_ref)
+        grad_ref[:] = grad_ref[:] + add
 
 
 def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
-                   grad_ref, t_ref, s_ref):
+                   t_ref, s_ref):
     ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
     oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
@@ -458,11 +523,11 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     add = jnp.concatenate([
         dmx, dmy, dca, dcb, dcc_, dop, grads4,
         jnp.zeros((6, CHUNK), jnp.float32)], axis=0)
-    grad_ref[:] = grad_ref[:] + add
 
     # carries for the next (earlier) chunk
     s_ref[:] = s_ref[:] + jnp.sum(gw, axis=1, keepdims=True)
     t_ref[:] = t_ref[:] - jnp.sum(log1ma, axis=1, keepdims=True)
+    return add, valid
 
 
 def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
@@ -486,23 +551,29 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
         jnp.ones((1,), jnp.int32),
         (rchunk[1:] != rchunk[:-1]).astype(jnp.int32)])
 
+    in_specs = [
+        pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, PIX, 8), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((PIX, 1), jnp.float32), pltpu.VMEM((PIX, 1), jnp.float32)]
+    kernel, out_shape = _backward_kernel, pairs.feats_t.shape
+    out_specs = pl.BlockSpec(
+        (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+        memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(w,),
-        in_specs=[
-            pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 8), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32), pltpu.VMEM((PIX, 1), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _backward_kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pairs.feats_t.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )(rchunk, rtile, rk, first_visit,
       pairs.starts, pairs.counts, n_items_of_tile, jnp.array([tiles_x], jnp.int32),
@@ -586,17 +657,25 @@ def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
                                        tiles_y=tiles_y, interpret=interpret)
 
     np_real = pairs.sorted_rank.shape[0]           # = min(pair_budget, N·side²)
+    total_pairs = jnp.sum(pairs.counts)
     data = pair_grads[0:10, :np_real].T            # (NP,10)
     # pairs beyond the real segments live in never-visited (uninitialized)
     # gradient blocks — route them to a discard segment. Accumulation happens
     # in depth-rank space (the sort carries no splat payload); one cheap
-    # N-row gather converts back to splat order.
-    total_pairs = jnp.sum(pairs.counts)
+    # N-row gather converts back to splat order. A scatter-add is ~35 ms at
+    # 2.1M pairs but measured variants are all worse on TPU: re-sort to rank-
+    # major + sorted segment_sum needs a big-table gather (~52 ms), in-kernel
+    # VMEM accumulation costs ~100 ns/pair of serialized dynamic stores
+    # (MEASUREMENTS.md "backward reduction variants").
     ids = jnp.where(jnp.arange(np_real) < total_pairs, pairs.sorted_rank, n)
     seg_rank = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
     seg = jnp.take(seg_rank, pairs.rank, axis=0)   # rank space → splat order
+    return _pack_ct(seg, n), d_bg
 
-    ct_proj = ProjectedGaussians(
+
+def _pack_ct(seg, n):
+    """(N,10) gradient rows → ProjectedGaussians cotangent."""
+    return ProjectedGaussians(
         means2d=seg[:, 0:2],
         conic=seg[:, 2:5],
         depth=seg[:, 9],
@@ -604,7 +683,6 @@ def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
         rgb=seg[:, 6:9],
         opacity=seg[:, 5],
     )
-    return ct_proj, d_bg
 
 
 _rasterize_pallas_core.defvjp(_core_fwd, _core_bwd)

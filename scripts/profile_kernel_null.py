@@ -1,0 +1,154 @@
+"""Forward-kernel cost decomposition on TPU: full kernel vs null body
+(grid + DMA + init only) vs no-matmul body, over the REAL work-item list at
+bench scale. Separates per-item grid overhead from VPU/MXU compute.
+
+Run: python scripts/profile_kernel_null.py
+"""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(fn, *args, iters=20):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def _measure():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bench import build_garment_splats
+    from gaussian_garments_tpu.ops import pallas_tiles as PT
+    from gaussian_garments_tpu.ops.projection import project_gaussians
+    from gaussian_garments_tpu.utils.camera import make_camera
+
+    W, H = 1920, 1080
+    rng = np.random.RandomState(0)
+    means, scales, rots, opac, shs = build_garment_splats(150_000, rng)
+    cam = make_camera(np.eye(3), np.array([0.0, 0.0, 2.2]), fx=2200.0, fy=2200.0,
+                      cx=W / 2, cy=H / 2, width=W, height=H)
+    proj = project_gaussians(
+        jnp.asarray(means), cam.world_view_transform, cam.full_proj_transform,
+        cam.camera_center, image_width=W, image_height=H,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, scales=jnp.asarray(scales),
+        rotations=jnp.asarray(rots), shs=jnp.asarray(shs),
+        opacities=jnp.asarray(opac).reshape(-1), sh_degree=0)
+    tiles_x, tiles_y = -(-W // PT.TILE), -(-H // PT.TILE)
+    pairs = jax.jit(lambda p: PT.pack_pairs(
+        p, tiles_x=tiles_x, tiles_y=tiles_y, max_tiles_side=6,
+        pair_budget=2_097_152))(proj)
+    num_tiles = tiles_x * tiles_y
+    w = pairs.chunk_of_item.shape[0]
+    print(f"work items: {w}", flush=True)
+
+    def run(kernel):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(w,),
+            in_specs=[pl.BlockSpec((PT.FDIM, PT.CHUNK),
+                                   lambda i, ch, tl, kk, st, cn, tx: (0, ch[i]),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, PT.PIX, 8),
+                                   lambda i, ch, tl, kk, st, cn, tx: (tl[i], 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((PT.PIX, 1), jnp.float32)],
+        )
+        f = pl.pallas_call(kernel, grid_spec=grid_spec,
+                           out_shape=jax.ShapeDtypeStruct((num_tiles + 1, PT.PIX, 8),
+                                                          jnp.float32))
+        return jax.jit(lambda pr: f(pr.chunk_of_item, pr.tile_of_item, pr.k_of_item,
+                                    pr.starts, pr.counts,
+                                    jnp.array([tiles_x], jnp.int32), pr.feats_t))
+
+    print(f"full     {_timeit(run(PT._composite_kernel), pairs):8.2f} ms", flush=True)
+
+    def null_kernel(chunk_ref, tile_ref, k_ref, starts_ref, counts_ref,
+                    tiles_x_ref, chunk_in, out_ref, t_ref):
+        i = pl.program_id(0)
+        k = k_ref[i]
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[0] = jnp.zeros((PT.PIX, 8), jnp.float32)
+            t_ref[:] = jnp.zeros((PT.PIX, 1), jnp.float32)
+
+    print(f"null     {_timeit(run(null_kernel), pairs):8.2f} ms  (grid+DMA+init)", flush=True)
+
+    def nomxu_kernel(chunk_ref, tile_ref, k_ref, starts_ref, counts_ref,
+                     tiles_x_ref, chunk_in, out_ref, t_ref):
+        i = pl.program_id(0)
+        tiles_x = tiles_x_ref[0]
+        tile = tile_ref[i]
+        k = k_ref[i]
+        start = starts_ref[tile]
+        count = counts_ref[tile]
+        chunk = chunk_ref[i]
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[0] = jnp.zeros((PT.PIX, 8), jnp.float32)
+            t_ref[:] = jnp.zeros((PT.PIX, 1), jnp.float32)
+
+        @pl.when(count > 0)
+        def _():
+            ox = (jax.lax.rem(tile, tiles_x) * PT.TILE).astype(jnp.float32)
+            oy = (jax.lax.div(tile, tiles_x) * PT.TILE).astype(jnp.float32)
+            p = jax.lax.broadcasted_iota(jnp.int32, (PT.PIX, 1), 0)
+            px = ox + jax.lax.rem(p, PT.TILE).astype(jnp.float32)
+            py = oy + jax.lax.div(p, PT.TILE).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, PT.CHUNK), 1)
+            f = chunk_in[:]
+            pair_idx = chunk * PT.CHUNK + lane
+            valid = (pair_idx >= start) & (pair_idx < start + count)
+            dx = f[0:1, :] - px
+            dy = f[1:2, :] - py
+            power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
+            alpha = jnp.minimum(PT.ALPHA_MAX, f[5:6, :] * jnp.exp(power))
+            ok = valid & (power <= 0.0) & (alpha >= PT.ALPHA_EPS)
+            alpha = jnp.where(ok, alpha, 0.0)
+            log1ma = jnp.log1p(-alpha)
+            logt_in = t_ref[:]
+            t_ref[:] = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
+            out_ref[0, :, 5:6] = t_ref[:]
+            # elementwise only — accumulate a cheap surrogate, no MXU matmuls
+            out_ref[0, :, 4:5] = out_ref[0, :, 4:5] + jnp.sum(alpha, axis=1, keepdims=True)
+
+    print(f"nomxu    {_timeit(run(nomxu_kernel), pairs):8.2f} ms  (VPU body, no matmuls)", flush=True)
+    print("PROFILE_DONE", flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _measure()
+        return
+    for attempt in range(4):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
+                               capture_output=True, text=True, timeout=420)
+        except subprocess.TimeoutExpired:
+            print(f"[profile] attempt {attempt} wedged (timeout)", file=sys.stderr)
+            continue
+        sys.stdout.write(r.stdout)
+        if "PROFILE_DONE" in r.stdout:
+            return
+        sys.stderr.write(r.stderr[-2000:])
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,36 @@ class TestPallasForward:
         np.testing.assert_allclose(np.asarray(ap), np.asarray(ar), atol=2e-5)
         assert int(aux["n_overflow"]) == 0
 
+    def test_matches_oracle_low_opacity(self, rng):
+        """Opacity-aware tight extents must be EXACT: pairs they cull have
+        alpha < 1/255 everywhere, which the kernel (and the oracle) mask to
+        zero contribution anyway. Mixed near-zero/low/high opacities."""
+        means, scales, rots, opac, shs, cam = _scene(rng)
+        opac = opac.copy()
+        opac[::3] = 0.01                     # opacity-reset regime
+        opac[1::3] = 0.002                   # below 1/255: fully culled
+        proj = _proj(cam, jnp.asarray(means), jnp.asarray(scales),
+                     jnp.asarray(rots), jnp.asarray(opac), jnp.asarray(shs))
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        ir, dr, ar = rasterize_reference(proj, image_height=H, image_width=W, bg=bg)
+        ip, dp, ap, _ = _forward(proj, bg, image_height=H, image_width=W,
+                                 max_tiles_side=6, pair_budget=8192, interpret=True)
+        np.testing.assert_allclose(np.asarray(ip), np.asarray(ir), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(ar), atol=2e-5)
+
+        # the tight extents must generate strictly fewer pairs than the
+        # radii-based rects at these opacities
+        from gaussian_garments_tpu.ops.pallas_tiles import pack_pairs
+        pp = pack_pairs(proj, tiles_x=-(-W // 16), tiles_y=-(-H // 16),
+                        max_tiles_side=6, pair_budget=8192)
+        r = np.asarray(proj.radii)
+        x0 = np.clip(np.floor((np.asarray(proj.means2d)[:, 0] - r) / 16), 0, -(-W // 16))
+        x1 = np.clip(np.floor((np.asarray(proj.means2d)[:, 0] + r + 15) / 16) + 1, 0, -(-W // 16))
+        y0 = np.clip(np.floor((np.asarray(proj.means2d)[:, 1] - r) / 16), 0, -(-H // 16))
+        y1 = np.clip(np.floor((np.asarray(proj.means2d)[:, 1] + r + 15) / 16) + 1, 0, -(-H // 16))
+        full = int((np.minimum(x1 - x0, 6) * np.minimum(y1 - y0, 6))[r > 0].sum())
+        assert int(pp.n_valid) < full * 0.7, (int(pp.n_valid), full)
+
     def test_budget_overflow_reported(self, rng):
         means, scales, rots, opac, shs, cam = _scene(rng, n=100)
         proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
