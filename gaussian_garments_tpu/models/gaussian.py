@@ -93,6 +93,24 @@ def _pad(a: np.ndarray, capacity: int) -> np.ndarray:
     return np.pad(a, pad)
 
 
+def _pad_param(name: str, a: np.ndarray, capacity: int) -> np.ndarray:
+    """Capacity padding with numerically-safe fill values.
+
+    Dead (alive=False) slots never contribute to the composite, but their
+    params still flow through the differentiable local→world chain, so the
+    fill must be VJP-safe. Zeros are — except for ``rotation``: an all-zero
+    quaternion makes ``normalize(q_face · q_local)`` normalize an exact zero,
+    whose norm backward is 0/0, and that NaN leaks into the shared face-frame
+    (vertex) gradients through 0·NaN. Dead slots therefore pad with identity
+    quaternions.
+    """
+    if name == "rotation" and a.shape[0] < capacity:
+        fill = np.zeros((capacity - a.shape[0],) + a.shape[1:], a.dtype)
+        fill[:, 0] = 1.0
+        return np.concatenate([a, fill])
+    return _pad(a, capacity)
+
+
 def create_from_pcd(
     points: np.ndarray,
     colors: np.ndarray,
@@ -127,7 +145,7 @@ def create_from_pcd(
         features_dc=jnp.asarray(_pad(features_dc, capacity)),
         features_rest=jnp.asarray(_pad(features_rest, capacity)),
         scaling=jnp.asarray(_pad(scales, capacity)),
-        rotation=jnp.asarray(_pad(rots, capacity)),
+        rotation=jnp.asarray(_pad_param("rotation", rots, capacity)),
         opacity=jnp.asarray(_pad(opacity.astype(np.float32), capacity)),
     )
     alive = np.zeros((capacity,), bool)
@@ -275,9 +293,12 @@ def _repack(
 ) -> Tuple[GaussianParams, GaussianAux, AdamState]:
     n = h.params["xyz"].shape[0]
     capacity = capacity if capacity and capacity >= n else max(n, int(n * 1.0))
-    pack = lambda d: GaussianParams(**{k: jnp.asarray(_pad(v, capacity)) for k, v in d.items()})
-    params = pack(h.params)
-    adam = AdamState(step=step, mu=pack(h.mu), nu=pack(h.nu))
+    # params pad with safe fills (identity quats for dead rotation slots);
+    # Adam moments always pad with zeros
+    params = GaussianParams(
+        **{k: jnp.asarray(_pad_param(k, v, capacity)) for k, v in h.params.items()})
+    pack0 = lambda d: GaussianParams(**{k: jnp.asarray(_pad(v, capacity)) for k, v in d.items()})
+    adam = AdamState(step=step, mu=pack0(h.mu), nu=pack0(h.nu))
     alive = np.zeros((capacity,), bool)
     alive[:n] = True
     aux = GaussianAux(
@@ -466,7 +487,7 @@ def load_ply(path, max_sh_degree: int, capacity: Optional[int] = None) -> Tuple[
         features_dc=jnp.asarray(_pad(f_dc.transpose(0, 2, 1), capacity)),
         features_rest=jnp.asarray(_pad(f_rest.transpose(0, 2, 1), capacity)),
         scaling=jnp.asarray(_pad(scales, capacity)),
-        rotation=jnp.asarray(_pad(rots, capacity)),
+        rotation=jnp.asarray(_pad_param("rotation", rots, capacity)),
         opacity=jnp.asarray(_pad(opacities, capacity)),
     )
     alive = np.zeros((capacity,), bool)

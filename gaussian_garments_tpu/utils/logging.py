@@ -43,7 +43,9 @@ class MetricLogger:
         for k, v in vals.items():
             self.sums[k] = self.sums.get(k, 0.0) + v
         if self._f is not None:
-            rec = {"step": int(step), **vals, **{k: float(v) for k, v in extra.items()},
+            rec = {"step": int(step), **vals,
+                   **{k: (v if isinstance(v, str) else float(v))
+                      for k, v in extra.items()},
                    "time": time.time()}
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()

@@ -7,8 +7,16 @@ import jax.numpy as jnp
 
 
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """L2-normalize along the last axis (torch.nn.functional.normalize)."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    """L2-normalize along the last axis (torch.nn.functional.normalize).
+
+    The norm is computed with a defined (zero) gradient at q = 0, matching
+    torch's subgradient, where ``jnp.linalg.norm`` would give NaN. An all-zero
+    quaternion should never reach here (capacity padding uses identity quats),
+    but a NaN in the backward of a *masked-out* splat still poisons the shared
+    face-frame gradients through 0·NaN, so this path must stay NaN-free.
+    """
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq)) * (sq != 0.0)
     return q / jnp.maximum(norm, eps)
 
 

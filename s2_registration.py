@@ -77,6 +77,11 @@ def main():
                              "than this relative amount; 0 disables")
     parser.add_argument("--early_stop_window", type=int, default=200,
                         help="iterations per plateau-detection window")
+    parser.add_argument("--debug_nan", action="store_true",
+                        help="check loss finiteness every iteration; on the "
+                             "first NaN dump the pre-step state + camera batch "
+                             "to <stage2>/nan_dump.pkl and abort (costs one "
+                             "host sync per iteration)")
     args = parser.parse_args(sys.argv[1:])
 
     args.sh_degree = 0      # reference hard-override (s2_registration.py:158)
@@ -187,8 +192,14 @@ def main():
                 f"--cameras_per_step {b} must be a multiple of {dp_mesh.size} devices"
 
         def get_step(mode, use_body):
+            # keyed on splat CAPACITY: densification growth (grow_capacity,
+            # models/gaussian.py) re-traces the step. Each trace is logged
+            # with its wall time so recompile overhead is visible in the
+            # JSONL metrics (reference has no such cost — dynamic tensors)
             key = (mode, use_body, state.params.xyz.shape[0])
             if key not in steps:
+                import time as _time
+                t_trace = _time.perf_counter()
                 if dp_mesh is not None:
                     from jax import shard_map
                     from jax.sharding import PartitionSpec as P
@@ -202,6 +213,12 @@ def main():
                 else:
                     steps[key] = S2.make_s2_step(opt, mode=mode, use_body=use_body,
                                                  active_sh_degree=0, raster_cfg=cfg)
+                build_s = _time.perf_counter() - t_trace
+                print(f"[frame {t}] new step variant {key} (capacity "
+                      f"{key[2]}); build {build_s:.2f}s (compile follows on "
+                      "first call)")
+                metrics_log.log(it, {}, compile_event=str(key),
+                                build_s=round(build_s, 3))
             return steps[key]
 
         from gaussian_garments_tpu.utils.logging import MetricLogger, StepTimer
@@ -235,8 +252,24 @@ def main():
             step = get_step(mode, use_body)
             xyz_lr = float(xyz_sched(it)) if (args.is_template_seq and is_ff) else \
                 opt.position_lr_init * spatial_lr_scale
+            if args.debug_nan:
+                prev_state = jax.tree.map(np.asarray, state)
             with timer.phase("step"):
                 state, loss_dict, metrics = step(state, batch, bg, xyz_lr, vert_lr)
+            if args.debug_nan and (
+                    not all(np.isfinite(float(v)) for v in loss_dict.values())
+                    or not np.isfinite(np.asarray(state.mesh.v)).all()):
+                import pickle
+                dump = {"state": prev_state,
+                        "batch": jax.tree.map(np.asarray, batch),
+                        "bg": np.asarray(bg), "xyz_lr": xyz_lr, "vert_lr": vert_lr,
+                        "mode": mode, "use_body": use_body, "iter": it,
+                        "loss_dict": {k: float(v) for k, v in loss_dict.items()}}
+                with open(stage2_path / "nan_dump.pkl", "wb") as f:
+                    pickle.dump(dump, f)
+                raise FloatingPointError(
+                    f"NaN loss at frame {t} iter {it}: {dump['loss_dict']} "
+                    f"(pre-step state dumped to {stage2_path / 'nan_dump.pkl'})")
 
             # densify / prune / opacity reset (template phase 1 only)
             if args.is_template_seq and is_ff and not use_body:

@@ -72,6 +72,47 @@ def _measure():
         opacity=jnp.full_like(state.params.opacity, float(np.log(0.01 / 0.99)))))
     ms2 = _timeit(run, lowop)
     print(f"s2_step_lowop {ms2:8.2f} ms  (same scene, opacity 0.01)", flush=True)
+
+    if "--decompose" in sys.argv:
+        import jax
+        from gaussian_garments_tpu.models import gaussian as GM
+        from gaussian_garments_tpu.renderer import SplatBundle, render_batch
+        from gaussian_garments_tpu.utils.losses import l1_loss, ssim
+
+        cfg = RasterConfig(backend="pallas")
+        frames = MG.compute_face_frames(state.mesh.v, state.mesh.f)
+        bundle = SplatBundle(
+            means3d=MG.world_xyz(state.params, state.binding, frames),
+            opacity=GM.get_opacity(state.params) * state.aux.alive[:, None],
+            scales=MG.world_scaling(state.params, state.binding, frames),
+            rotations=MG.world_rotation(state.params, state.binding, frames),
+            shs=GM.get_features(state.params), active_sh_degree=0)
+
+        def fwd_only(b):
+            return render_batch(batch, b, bg, config=cfg)["render"]
+        print(f"render_fwd      {_timeit(jax.jit(fwd_only), bundle):8.2f} ms "
+              "(4-cam batched render)", flush=True)
+
+        def fwd_bwd(b):
+            return jax.grad(lambda bb: fwd_only(bb).mean())(b)
+        print(f"render_fwd+bwd  {_timeit(jax.jit(fwd_bwd), bundle):8.2f} ms",
+              flush=True)
+
+        gt = batch.image
+        mask = batch.mask
+
+        def img_losses(b):
+            img = render_batch(batch, b, bg, config=cfg)["render"]
+            return l1_loss(img, gt, mask) + (1.0 - ssim(img, gt, mask))  # scalar
+        print(f"imgloss_fwd+bwd {_timeit(jax.jit(jax.grad(img_losses)), bundle):8.2f} ms "
+              "(render + L1 + SSIM)", flush=True)
+
+        def ssim_only(img):
+            return 1.0 - ssim(img, gt, mask)
+        img0 = jax.jit(fwd_only)(bundle)
+        print(f"ssim_fwd+bwd    {_timeit(jax.jit(jax.grad(ssim_only)), img0):8.2f} ms "
+              "(loss side alone)", flush=True)
+
     print("PROFILE_DONE", flush=True)
 
 
@@ -81,7 +122,7 @@ def main():
         return
     for attempt in range(4):
         try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
+            r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"] + sys.argv[1:],
                                capture_output=True, text=True, timeout=420)
         except subprocess.TimeoutExpired:
             print(f"[bench] attempt {attempt} wedged (timeout)", file=sys.stderr)

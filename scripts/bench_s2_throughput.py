@@ -70,7 +70,7 @@ def template_fit():
            "GG_OUTPUT_ROOT": str(DATA / "out"),
            "GG_AUX_ROOT": str(DATA / "aux")}
     subprocess.run([
-        sys.executable, "s2_registration.py", "-s", "subj", "-q", "Template",
+        sys.executable, "s2_registration.py", "-s", "subj", "-q", "seq1",
         "-tf", "0", "--first_frame_iterations", "800",
         "--ff_collision_iteration", "100"],
         check=True, cwd=REPO, env=env, timeout=3600)

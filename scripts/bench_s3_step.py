@@ -1,0 +1,132 @@
+"""Stage-3 jitted training-step latency at production scale on TPU (ROADMAP 3).
+
+Production shape: 512² texture AvatarNet (StyleUNet shadow net + viewdir SH
+net) + per-texel splats rendered at 940×1280 through the Pallas rasterizer,
+full fwd+bwd + Adam — the per-item cost of the s3 epoch loop. Reports bs=1
+and bs=2 per chip (items_per_step batching headroom).
+
+Run: python scripts/bench_s3_step.py [--texture 512]
+"""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(fn, *args, iters=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    o = None
+    for _ in range(iters):
+        o = fn(*args)
+    jax.block_until_ready(o)
+    float(np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def _measure():
+    import jax.numpy as jnp
+    from argparse import ArgumentParser
+
+    from gaussian_garments_tpu.config import OptimizationParams
+    from gaussian_garments_tpu.data import synthetic as syn
+    from gaussian_garments_tpu.data.baker import bake_textures
+    from gaussian_garments_tpu.models import avatar_gaussian as AG
+    from gaussian_garments_tpu.models import gaussian as G
+    from gaussian_garments_tpu.models.avatar_net import AvatarNet
+    from gaussian_garments_tpu.renderer import RasterConfig
+    from gaussian_garments_tpu.training import s3 as S3
+
+    res = 512
+    if "--texture" in sys.argv:
+        res = int(sys.argv[sys.argv.index("--texture") + 1])
+    W, H = 940, 1280
+
+    parser = ArgumentParser()
+    opt = OptimizationParams(parser).extract(parser.parse_args([]))
+    from argparse import Namespace
+    args = Namespace(**{**vars(opt), "lr_init": 5e-4})
+    rng = np.random.RandomState(0)
+    cams, verts, faces, uvs, colors = syn.make_scene(
+        n_cams=2, nx=48, ny=48, width=W, height=H)
+    bind, _ = AG.build_binding(uvs, faces, res)
+    n = bind.binding.shape[0]
+    print(f"texels bound: {n} ({res}² texture)", flush=True)
+    splats = G.GaussianParams(
+        xyz=jnp.zeros((n, 3)),
+        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.1),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.full((n, 3), -6.5),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n, 1)),
+        opacity=jnp.full((n, 1), 2.0),
+    )
+    amb, nrm = bake_textures(bind, verts, faces, n_samples=8)
+
+    def make_item(B):
+        return S3.S3Item(
+            image=jnp.stack([c.original_image for c in cams[:B]]),
+            mask=jnp.stack([c.gt_alpha_mask for c in cams[:B]]),
+            bg=jnp.zeros((B, 3)),
+            mesh_v=jnp.tile(jnp.asarray(verts)[None], (B, 1, 1)),
+            ambient=jnp.tile(jnp.asarray(amb)[None], (B, 1, 1, 1)),
+            normal=jnp.tile(jnp.asarray(nrm)[None], (B, 1, 1, 1)),
+            world_view=jnp.stack([c.world_view_transform for c in cams[:B]]),
+            full_proj=jnp.stack([c.full_proj_transform for c in cams[:B]]),
+            campos=jnp.stack([c.camera_center for c in cams[:B]]),
+            tanfovx=jnp.asarray([c.tanfovx for c in cams[:B]]),
+            tanfovy=jnp.asarray([c.tanfovy for c in cams[:B]]),
+            width=W, height=H,
+        )
+
+    net = AvatarNet(texture_size=res, sh_degree=3)
+    item1 = make_item(1)
+    state = S3.init_state(net, bind, splats, verts, faces, item1)
+    n_params = sum(int(np.prod(x.shape)) for x in
+                   __import__("jax").tree_util.tree_leaves(state.net_params))
+    print(f"net params: {n_params/1e6:.1f}M", flush=True)
+
+    for B in (1, 2):
+        item = make_item(B)
+        step = S3.make_s3_step(net, args, sh_degree=3,
+                               raster_cfg=RasterConfig(backend="pallas"),
+                               train_gaussians=True)
+
+        mesh_f = jnp.asarray(faces.astype(np.int32))
+
+        def run(st):
+            st2, ld = step(st, bind, mesh_f, item)
+            return st2
+
+        ms = _timeit(run, state)
+        print(f"s3_step bs={B}  {ms:8.2f} ms  ({ms/B:.1f} ms/item -> "
+              f"{1000.0*B/ms:.1f} items/s at {res}²/{W}x{H})", flush=True)
+    print("PROFILE_DONE", flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _measure()
+        return
+    for attempt in range(4):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"] + sys.argv[1:],
+                capture_output=True, text=True, timeout=420)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {attempt} wedged (timeout)", file=sys.stderr)
+            continue
+        sys.stdout.write(r.stdout)
+        if "PROFILE_DONE" in r.stdout:
+            return
+        sys.stderr.write(r.stderr[-3000:])
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,22 @@ class TestQuaternion:
         np.testing.assert_allclose(eye, np.tile(np.eye(3), (50, 1, 1)), atol=1e-5)
         np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
 
+    def test_normalize_zero_grad_finite(self):
+        """normalize at q=0 must have a defined gradient (torch subgradient
+        semantics): jnp.linalg.norm's NaN at 0 poisons face-frame gradients
+        through 0·NaN when a dead-slot quaternion product is exactly zero."""
+        import jax
+
+        def f(q):
+            return jnp.sum(quat.normalize(q) ** 2)
+
+        g = np.asarray(jax.grad(f)(jnp.zeros((3, 4))))
+        assert np.isfinite(g).all()
+        # and unchanged on real quats
+        q = jnp.asarray([[0.5, 0.5, 0.5, 0.5], [1.0, 0.0, 0.0, 0.0]])
+        np.testing.assert_allclose(np.asarray(quat.normalize(q)),
+                                   np.asarray(q), atol=1e-6)
+
     def test_quat_multiply_matches_matmul(self, rng):
         a = rng.randn(20, 4).astype(np.float32)
         b = rng.randn(20, 4).astype(np.float32)

@@ -84,6 +84,50 @@ class TestTemplateStep:
         assert np.isfinite(float(m["loss"]))
 
 
+class TestDeadSlots:
+    """Capacity padding must be gradient-safe: dead (alive=False) slots sit in
+    the differentiable local→world chain, and a NaN there leaks into the
+    *shared* face-frame (vertex) gradients through 0·NaN — the template-fit
+    NaN blowup after the first densify regrowth (found at r2: all vertices
+    poisoned within ~100 iters of the capacity 1922→3027 repack)."""
+
+    def test_step_with_dead_slots_stays_finite(self, scene):
+        cams, verts, faces, uvs, colors = scene
+        n = len(faces)
+        params, aux, binding, counter = MG.create_from_template(
+            verts, faces, colors, max_sh_degree=0, capacity=n + 64)
+        # dead-slot rotations pad as identity quats, never all-zero
+        rot = np.asarray(params.rotation)
+        np.testing.assert_array_equal(rot[n:, 0], 1.0)
+        mesh = MM.create(verts, faces)
+        state = S2.init_state(params, aux, binding, mesh)
+        step = S2.make_s2_step(_opt(), mode="template_p1", use_body=False, raster_cfg=CFG)
+        batch = BatchedCameras.from_cameras(cams)
+        for _ in range(3):
+            state, ld, m = step(state, batch, jnp.zeros(3), 1.6e-3, 1.6e-3)
+        assert np.isfinite(np.asarray(state.mesh.v)).all()
+        for name in ("xyz", "scaling", "rotation", "opacity"):
+            assert np.isfinite(np.asarray(getattr(state.params, name))).all(), name
+
+    def test_legacy_zero_quat_padding_stays_finite(self, scene):
+        """Checkpoints written before the identity-quat padding fix carry
+        all-zero dead-slot quaternions; the safe-norm in quaternion.normalize
+        must keep gradients finite for those too."""
+        cams, verts, faces, uvs, colors = scene
+        n = len(faces)
+        params, aux, binding, counter = MG.create_from_template(
+            verts, faces, colors, max_sh_degree=0, capacity=n + 64)
+        rot = np.asarray(params.rotation).copy()
+        rot[n:] = 0.0
+        state = S2.init_state(params.replace(rotation=jnp.asarray(rot)), aux, binding,
+                              MM.create(verts, faces))
+        step = S2.make_s2_step(_opt(), mode="template_p1", use_body=False, raster_cfg=CFG)
+        batch = BatchedCameras.from_cameras(cams)
+        state, ld, m = step(state, batch, jnp.zeros(3), 1.6e-3, 1.6e-3)
+        assert np.isfinite(np.asarray(state.mesh.v)).all()
+        assert np.isfinite(np.asarray(state.params.rotation)).all()
+
+
 class TestSharded:
     def test_shard_map_matches_single_device(self, scene):
         from jax import shard_map
