@@ -91,6 +91,18 @@ RANK_BITS = 18
 RANK_MASK = (1 << RANK_BITS) - 1
 
 
+def _mm(a, b, dims, bf16: bool):
+    """dot_general with optional bf16 inputs (f32 accumulate). The MXU runs
+    bf16×bf16→f32 at full rate where f32×f32 needs multi-pass decomposition
+    (~4× slower); the 0/1 prefix masks are exact in bf16 and the value
+    operands lose ≤0.4% relative — opt-in via RasterConfig.mxu_bf16, gated by
+    the PSNR harness (MEASUREMENTS.md)."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
 def pack_pairs(
     proj: ProjectedGaussians,
     *,
@@ -281,6 +293,8 @@ def _composite_kernel(
     out_ref,            # (1, 256, 8) VMEM
     # scratch
     t_ref,              # (256, 1) VMEM transmittance carry
+    *,
+    mxu_bf16: bool = False,
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
@@ -334,16 +348,16 @@ def _composite_kernel(
             cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
             u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
 
-            prefix = jax.lax.dot_general(
-                log1ma, u_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            prefix = _mm(
+                log1ma, u_excl, (((1,), (0,)), ((), ())), mxu_bf16
             )                                               # (256,CHUNK) exclusive
             logt = logt_in + prefix
             t = jnp.exp(logt)
             contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
 
             rgbd = f[6:10, :]                               # (4,CHUNK)
-            acc4 = jax.lax.dot_general(
-                contrib, rgbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            acc4 = _mm(
+                contrib, rgbd, (((1,), (1,)), ((), ())), mxu_bf16
             )                                               # (256,4)
             out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
             out_ref[0, :, 4:5] = out_ref[0, :, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
@@ -355,6 +369,7 @@ def composite_tiles_pallas(
     tiles_x: int,
     tiles_y: int,
     interpret: bool = False,
+    mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """Run the kernel over the work-item list. Returns (T+1, 256, 8): cols 0-2
     premult color, 3 depth, 4 alpha; the last row is the padding-item guard
@@ -372,7 +387,7 @@ def composite_tiles_pallas(
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
     return pl.pallas_call(
-        _composite_kernel,
+        functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, PIX, 8), jnp.float32),
         interpret=interpret,
@@ -415,6 +430,8 @@ def _backward_kernel(
     # scratch
     t_ref,              # (256,1) transmittance, reconstructed back-to-front
     s_ref,              # (256,1) suffix Σ_{j>i} G_j w_j
+    *,
+    mxu_bf16: bool = False,
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
@@ -442,12 +459,12 @@ def _backward_kernel(
     @pl.when(count > 0)
     def _():
         add, _ = _backward_body(tile, chunk, start, count, tiles_x, chunk_in,
-                                cot, t_ref, s_ref)
+                                cot, t_ref, s_ref, mxu_bf16=mxu_bf16)
         grad_ref[:] = grad_ref[:] + add
 
 
 def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
-                   t_ref, s_ref):
+                   t_ref, s_ref, *, mxu_bf16: bool = False):
     ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
     oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
@@ -479,8 +496,8 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     # log T before pair i = log T_after_chunk − Σ_{j>=i,in chunk} log(1-α_j)
     # (log space: the positive exponent would overflow f32 through saturated
     # regions where Σ log1ma ≈ −600)
-    suf_incl = jax.lax.dot_general(
-        log1ma, u_suf_incl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    suf_incl = _mm(
+        log1ma, u_suf_incl, (((1,), (0,)), ((), ())), mxu_bf16)
     logt_i = t_ref[:] - suf_incl                  # (256,CHUNK)
     t_i = jnp.exp(logt_i)
     gate = (t_i >= T_EPS).astype(jnp.float32)
@@ -494,8 +511,8 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     w = gate * alpha * t_i
     gw = g_sens * w
 
-    suf_gw = jax.lax.dot_general(
-        gw, u_suf_excl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    suf_gw = _mm(
+        gw, u_suf_excl, (((1,), (0,)), ((), ())), mxu_bf16)
     s_i = s_ref[:] + suf_gw                       # Σ_{j>i} G_j w_j
 
     d_alpha = gate * t_i * g_sens - s_i / (1.0 - alpha)
@@ -516,8 +533,8 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     dcb = jnp.sum(d_pow * (-dxs * dys), axis=0, keepdims=True)
     dcc_ = jnp.sum(d_pow * (-0.5 * dys * dys), axis=0, keepdims=True)
     dop = jnp.sum(d_alpha_un * eps_ok, axis=0, keepdims=True)
-    grads4 = jax.lax.dot_general(
-        cot[:, 0:4], w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    grads4 = _mm(
+        cot[:, 0:4], w, (((0,), (0,)), ((), ())), mxu_bf16
     )                                             # (4,CHUNK): dr,dg,db,dd
 
     add = jnp.concatenate([
@@ -532,7 +549,8 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
 
 def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
                           tiles_x: int, tiles_y: int,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          mxu_bf16: bool = False) -> jnp.ndarray:
     """Run the backward kernel over the REVERSED work-item list.
 
     cot_tiles: (T, 256, 8) with rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
@@ -558,7 +576,8 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
                      memory_space=pltpu.VMEM),
     ]
     scratch = [pltpu.VMEM((PIX, 1), jnp.float32), pltpu.VMEM((PIX, 1), jnp.float32)]
-    kernel, out_shape = _backward_kernel, pairs.feats_t.shape
+    kernel = functools.partial(_backward_kernel, mxu_bf16=mxu_bf16)
+    out_shape = pairs.feats_t.shape
     out_specs = pl.BlockSpec(
         (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
         memory_space=pltpu.VMEM)
@@ -581,13 +600,14 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
 
 
 def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
-             max_tiles_side, pair_budget, interpret):
+             max_tiles_side, pair_budget, interpret, mxu_bf16=False):
     tiles_x = -(-image_width // TILE)
     tiles_y = -(-image_height // TILE)
     pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
                        max_tiles_side=max_tiles_side, pair_budget=pair_budget)
     out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y,
-                                 interpret=interpret)[:tiles_x * tiles_y]
+                                 interpret=interpret,
+                                 mxu_bf16=mxu_bf16)[:tiles_x * tiles_y]
     img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
     color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
     image = color + (1.0 - alpha) * bg[:, None, None]
@@ -598,24 +618,26 @@ def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
     return image, depth, alpha, aux
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _rasterize_pallas_core(proj, bg, image_height, image_width,
-                           max_tiles_side, pair_budget, interpret):
+                           max_tiles_side, pair_budget, interpret,
+                           mxu_bf16=False):
     img, depth, alpha, aux = _forward(
         proj, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
-        interpret=interpret)
+        interpret=interpret, mxu_bf16=mxu_bf16)
     return img, depth, alpha, aux["n_clipped"], aux["n_overflow"]
 
 
 def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
-              pair_budget, interpret):
+              pair_budget, interpret, mxu_bf16=False):
     tiles_x = -(-image_width // TILE)
     tiles_y = -(-image_height // TILE)
     pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
                        max_tiles_side=max_tiles_side, pair_budget=pair_budget)
     out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y,
-                                 interpret=interpret)[:tiles_x * tiles_y]
+                                 interpret=interpret,
+                                 mxu_bf16=mxu_bf16)[:tiles_x * tiles_y]
     img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
     color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
     image = color + (1.0 - alpha) * bg[:, None, None]
@@ -629,7 +651,7 @@ def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
 
 
 def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
-              interpret, res, g):
+              interpret, mxu_bf16, res, g):
     """Dedicated Pallas backward: back-to-front suffix re-traversal over the
     same work-item list (analytic gradients matching the forward's gating)."""
     pairs, bg, t_final, alpha_img, n = res
@@ -654,7 +676,8 @@ def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
         [cot_tiles, jnp.zeros((1, PIX, 8))], axis=0)
 
     pair_grads = backward_tiles_pallas(pairs, cot_tiles, tiles_x=tiles_x,
-                                       tiles_y=tiles_y, interpret=interpret)
+                                       tiles_y=tiles_y, interpret=interpret,
+                                       mxu_bf16=mxu_bf16)
 
     np_real = pairs.sorted_rank.shape[0]           # = min(pair_budget, N·side²)
     total_pairs = jnp.sum(pairs.counts)
@@ -697,10 +720,11 @@ def rasterize_pallas(
     max_tiles_side: int = 6,
     pair_budget: int = 2_097_152,
     interpret: bool = False,
+    mxu_bf16: bool = False,
 ):
     """Drop-in for ``ops.tiled.rasterize_tiled`` (same return signature)."""
     img, depth, alpha, n_clipped, n_overflow = _rasterize_pallas_core(
         proj, bg, image_height, image_width, max_tiles_side, pair_budget,
-        interpret)
+        interpret, mxu_bf16)
     aux = {"n_clipped": n_clipped, "n_overflow": n_overflow}
     return img, depth, alpha, aux

@@ -55,6 +55,10 @@ class RasterConfig:
     use_reference: bool = struct.field(pytree_node=False, default=False)
     backend: str = struct.field(pytree_node=False, default="auto")
     pair_budget: int = struct.field(pytree_node=False, default=2_097_152)
+    # bf16 inputs (f32 accumulate) for the kernels' MXU matmuls: ~4× matmul
+    # rate, ≤0.4% relative error on blend weights/gradients — quality-gated
+    # via the PSNR harness before enabling in production (MEASUREMENTS.md)
+    mxu_bf16: bool = struct.field(pytree_node=False, default=False)
 
 
 def _resolve_backend(config: RasterConfig) -> str:
@@ -80,7 +84,8 @@ def _rasterize(proj, *, image_height, image_width, bg, config: RasterConfig):
 
         return rasterize_pallas(
             proj, image_height=image_height, image_width=image_width, bg=bg,
-            max_tiles_side=config.max_tiles_side, pair_budget=config.pair_budget)
+            max_tiles_side=config.max_tiles_side, pair_budget=config.pair_budget,
+            mxu_bf16=config.mxu_bf16)
     return rasterize_tiled(
         proj, image_height=image_height, image_width=image_width, bg=bg,
         tile_size=config.tile_size, max_tiles_side=config.max_tiles_side,

@@ -4,18 +4,26 @@ Matches the reference ``utils/loss_utils.py`` semantics exactly, including the
 quirk that the SSIM mask is applied *multiplicatively to both images before*
 the SSIM windows are computed (``loss_utils.py:44-46``).
 
-The SSIM blur is implemented as two separable depthwise 1-D convolutions
-(`lax.conv_general_dilated` with feature_group_count) — XLA maps these onto
-the TPU convolution units and fuses the surrounding elementwise algebra.
+The SSIM blur is implemented as two banded-matrix matmuls on the MXU
+(blur along an axis == multiply by a banded Toeplitz matrix). A/B on TPU at
+the s2 production shape (4×15×1280×940, fwd+bwd wrt img1,
+`scripts/profile_ssim.py`):
+
+    grouped depthwise conv   28.6 ms
+    shifted multiply-adds    31.4 ms  (and MISCOMPILES on TPU: wrong value;
+                                       correct on CPU — do not use)
+    banded matmul             8.6 ms  ← this implementation
+
+The dense band burns ~85× the minimal FLOPs but rides the MXU at full tilt,
+and its VJP is the transposed matmul — same speed backward.
 """
 from __future__ import annotations
 
 import functools
 import math
 
-import jax
 import jax.numpy as jnp
-from jax import lax
+import numpy as np
 
 
 def l1_loss(network_output: jnp.ndarray, gt: jnp.ndarray, mask=None) -> jnp.ndarray:
@@ -30,8 +38,6 @@ def l2_loss(network_output: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_window_np(window_size: int, sigma: float):
-    import numpy as np
-
     gauss = np.array(
         [math.exp(-((x - window_size // 2) ** 2) / float(2 * sigma**2)) for x in range(window_size)],
         dtype=np.float32,
@@ -39,24 +45,30 @@ def _gaussian_window_np(window_size: int, sigma: float):
     return gauss / gauss.sum()
 
 
-def _gaussian_window(window_size: int, sigma: float):
-    # cache plain numpy: caching a jnp array here would leak tracers when the
-    # first call happens inside a jit trace
-    return jnp.asarray(_gaussian_window_np(window_size, sigma))
-
-
-def _blur(img: jnp.ndarray, window: jnp.ndarray, window_size: int) -> jnp.ndarray:
-    """Depthwise separable gaussian blur of (N,C,H,W) with SAME padding."""
-    c = img.shape[1]
+@functools.lru_cache(maxsize=16)
+def _band_matrix_np(size: int, window_size: int, sigma: float):
+    """(size, size) banded Toeplitz blur matrix; rows index source pixels,
+    columns destination pixels. Zero rows outside the band reproduce SAME
+    zero-padding exactly."""
+    w = _gaussian_window_np(window_size, sigma)
     pad = window_size // 2
-    kh = jnp.tile(window.reshape(1, 1, window_size, 1), (c, 1, 1, 1))
-    kw = jnp.tile(window.reshape(1, 1, 1, window_size), (c, 1, 1, 1))
-    dn = lax.conv_dimension_numbers(img.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    out = lax.conv_general_dilated(img, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-                                   feature_group_count=c)
-    out = lax.conv_general_dilated(out, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-                                   feature_group_count=c)
-    return out
+    band = np.zeros((size, size), np.float32)
+    for k in range(window_size):
+        off = k - pad
+        d = np.arange(max(0, -off), min(size, size - off))
+        band[d, d + off] = w[k]
+    return band
+
+
+def _blur(img: jnp.ndarray, window_size: int, sigma: float = 1.5) -> jnp.ndarray:
+    """Depthwise separable gaussian blur of (N,C,H,W) with SAME padding,
+    as two MXU matmuls (see module docstring for the TPU A/B)."""
+    bh = jnp.asarray(_band_matrix_np(img.shape[2], window_size, sigma))
+    bw = jnp.asarray(_band_matrix_np(img.shape[3], window_size, sigma))
+    out = jnp.einsum("nchw,wv->nchv", img, bw,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("nchw,hg->ncgw", out, bh,
+                      preferred_element_type=jnp.float32)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11,
@@ -71,14 +83,17 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11,
         img1 = img1 * mask
         img2 = img2 * mask
 
-    window = _gaussian_window(window_size, 1.5)
-    mu1 = _blur(img1, window, window_size)
-    mu2 = _blur(img2, window, window_size)
-
+    # one blur over the 5 stacked maps instead of 5 separate blurs: one pair
+    # of matmuls with a 5× wider batch dim instead of five pairs
+    c = img1.shape[1]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=1)
+    b = _blur(stacked, window_size)
+    mu1, mu2 = b[:, 0:c], b[:, c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window, window_size) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window, window_size) - mu2_sq
-    sigma12 = _blur(img1 * img2, window, window_size) - mu1_mu2
+    sigma1_sq = b[:, 2 * c:3 * c] - mu1_sq
+    sigma2_sq = b[:, 3 * c:4 * c] - mu2_sq
+    sigma12 = b[:, 4 * c:5 * c] - mu1_mu2
 
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (

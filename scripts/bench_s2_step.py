@@ -73,7 +73,7 @@ def _measure():
     ms2 = _timeit(run, lowop)
     print(f"s2_step_lowop {ms2:8.2f} ms  (same scene, opacity 0.01)", flush=True)
 
-    if "--decompose" in sys.argv:
+    if "--decompose" in sys.argv or "--render_profile" in sys.argv:
         import jax
         from gaussian_garments_tpu.models import gaussian as GM
         from gaussian_garments_tpu.renderer import SplatBundle, render_batch
@@ -88,13 +88,68 @@ def _measure():
             rotations=MG.world_rotation(state.params, state.binding, frames),
             shs=GM.get_features(state.params), active_sh_degree=0)
 
+    if "--render_profile" in sys.argv:
+        # stage decomposition of the batched render at TRAINING scale
+        # (profile_binning.py does the same at the 1080p/150K bench scale)
+        from gaussian_garments_tpu.ops import pallas_tiles as PT
+        from gaussian_garments_tpu.ops.projection import project_gaussians
+
+        W, H = batch.width, batch.height
+        tiles_x, tiles_y = -(-W // PT.TILE), -(-H // PT.TILE)
+
+        def proj_one(b, wv, fp, cc, tx, ty):
+            return project_gaussians(
+                b.means3d, wv, fp, cc, image_width=W, image_height=H,
+                tanfovx=tx, tanfovy=ty, scales=b.scales, rotations=b.rotations,
+                shs=b.shs, opacities=b.opacity[:, 0], sh_degree=0)
+
+        def proj_batch(b):
+            return jax.vmap(proj_one, in_axes=(None, 0, 0, 0, 0, 0))(
+                b, batch.world_view, batch.full_proj, batch.campos,
+                batch.tanfovx, batch.tanfovy)
+        projd = jax.jit(proj_batch)(bundle)
+        print(f"rp_proj         {_timeit(jax.jit(lambda b: proj_batch(b).means2d.sum()), bundle):8.2f} ms",
+              flush=True)
+
+        def pack_batch(p):
+            return jax.vmap(lambda q: PT.pack_pairs(
+                q, tiles_x=tiles_x, tiles_y=tiles_y,
+                max_tiles_side=cfg.max_tiles_side,
+                pair_budget=cfg.pair_budget))(p)
+        packed = jax.jit(pack_batch)(projd)
+        print(f"rp_pack         {_timeit(jax.jit(lambda p: pack_batch(p).feats_t.sum()), projd):8.2f} ms "
+              f"(n_valid/cam {np.asarray(packed.n_valid)})", flush=True)
+
+        def kernel_fwd(pk):
+            out = jax.vmap(lambda q: PT.composite_tiles_pallas(
+                q, tiles_x=tiles_x, tiles_y=tiles_y))(pk)
+            return out.sum()
+        print(f"rp_kernel_fwd   {_timeit(jax.jit(kernel_fwd), packed):8.2f} ms",
+              flush=True)
+
+        def fwd(b):
+            return render_batch(batch, b, bg, config=cfg)["render"].mean()
+        print(f"rp_full_fwd     {_timeit(jax.jit(fwd), bundle):8.2f} ms", flush=True)
+
+        def fwd_bwd(b):
+            g = jax.grad(fwd)(b)
+            return g.means3d.sum() + g.opacity.sum() + g.scales.sum()
+        print(f"rp_full_fwd+bwd {_timeit(jax.jit(fwd_bwd), bundle):8.2f} ms",
+              flush=True)
+
+        # every measured fn returns a SCALAR: the timing readback would drag
+        # a full 4x3x1280x940 image (~19 MB) through the tunnel otherwise
         def fwd_only(b):
             return render_batch(batch, b, bg, config=cfg)["render"]
-        print(f"render_fwd      {_timeit(jax.jit(fwd_only), bundle):8.2f} ms "
+
+        def fwd_scalar(b):
+            return fwd_only(b).mean()
+        print(f"render_fwd      {_timeit(jax.jit(fwd_scalar), bundle):8.2f} ms "
               "(4-cam batched render)", flush=True)
 
         def fwd_bwd(b):
-            return jax.grad(lambda bb: fwd_only(bb).mean())(b)
+            g = jax.grad(lambda bb: fwd_only(bb).mean())(b)
+            return g.means3d.sum() + g.opacity.sum() + g.scales.sum()
         print(f"render_fwd+bwd  {_timeit(jax.jit(fwd_bwd), bundle):8.2f} ms",
               flush=True)
 
@@ -104,13 +159,18 @@ def _measure():
         def img_losses(b):
             img = render_batch(batch, b, bg, config=cfg)["render"]
             return l1_loss(img, gt, mask) + (1.0 - ssim(img, gt, mask))  # scalar
-        print(f"imgloss_fwd+bwd {_timeit(jax.jit(jax.grad(img_losses)), bundle):8.2f} ms "
+        def imgloss_bwd(b):
+            g = jax.grad(img_losses)(b)
+            return g.means3d.sum() + g.opacity.sum() + g.scales.sum()
+        print(f"imgloss_fwd+bwd {_timeit(jax.jit(imgloss_bwd), bundle):8.2f} ms "
               "(render + L1 + SSIM)", flush=True)
 
         def ssim_only(img):
             return 1.0 - ssim(img, gt, mask)
         img0 = jax.jit(fwd_only)(bundle)
-        print(f"ssim_fwd+bwd    {_timeit(jax.jit(jax.grad(ssim_only)), img0):8.2f} ms "
+        def ssim_bwd(img):
+            return jax.grad(ssim_only)(img).sum()
+        print(f"ssim_fwd+bwd    {_timeit(jax.jit(ssim_bwd), img0):8.2f} ms "
               "(loss side alone)", flush=True)
 
     print("PROFILE_DONE", flush=True)
@@ -120,17 +180,25 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         _measure()
         return
+    # --decompose jit-compiles 6 heavy programs (~30s each through the
+    # tunnel): give it a longer leash; stream stdout to a file so a wedge is
+    # distinguishable from a slow compile
+    budget = 900 if "--decompose" in sys.argv else 420
     for attempt in range(4):
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"] + sys.argv[1:],
-                               capture_output=True, text=True, timeout=420)
-        except subprocess.TimeoutExpired:
-            print(f"[bench] attempt {attempt} wedged (timeout)", file=sys.stderr)
-            continue
-        sys.stdout.write(r.stdout)
-        if "PROFILE_DONE" in r.stdout:
+        out_path = f"/tmp/bench_s2_step_child_{attempt}.log"
+        with open(out_path, "w") as fo:
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child"] + sys.argv[1:],
+                    stdout=fo, stderr=subprocess.STDOUT, text=True, timeout=budget)
+            except subprocess.TimeoutExpired:
+                print(f"[bench] attempt {attempt} wedged (timeout; partial in "
+                      f"{out_path})", file=sys.stderr)
+                continue
+        txt = open(out_path).read()
+        sys.stdout.write(txt)
+        if "PROFILE_DONE" in txt:
             return
-        sys.stderr.write(r.stderr[-2000:])
 
 
 if __name__ == "__main__":
