@@ -18,6 +18,10 @@ Design (vector registers are 8 sublanes × 128 lanes):
   last item of one tile and the first item of the next, with complementary
   lane masks — Mosaic double-buffers the input block DMA and keeps the output
   tile block resident while consecutive items share a tile;
+- the production path (``rasterize_pallas_batch``) flattens ALL cameras of a
+  batch into one global item list and runs a **dynamic grid** of exactly the
+  real item count (empty tiles emit no items; a grid step costs ~0.8 µs even
+  as a no-op — MEASUREMENTS.md "Batched-render lessons");
 - the front-to-back transmittance prefix is a strictly-upper-triangular
   (128×128) matmul on the MXU (parallel prefix instead of CUDA's serial loop);
 - color/depth accumulate as one (256×128)@(128×4)ᵀ MXU matmul per step;
@@ -69,6 +73,7 @@ class PackedPairs(NamedTuple):
     rank: jnp.ndarray          # (N,) int32 depth rank per splat (bwd reorder)
     n_valid: jnp.ndarray       # () int32 total real pairs (pre-truncation)
     n_clipped: jnp.ndarray     # () int32 splats whose rect exceeded SIDE²
+    n_items_total: jnp.ndarray  # () int32 real work items (dynamic grid bound)
 
 
 def _lower_bound(sorted_arr: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
@@ -236,7 +241,7 @@ def pack_pairs(
     # ---- work-item tables (pair-space chunks; a boundary chunk appears once
     # per overlapping tile with complementary lane masks) ----
     ends = starts + counts
-    n_items = jnp.where(counts > 0, (ends - 1) // CHUNK - starts // CHUNK + 1, 1)
+    n_items = jnp.where(counts > 0, (ends - 1) // CHUNK - starts // CHUNK + 1, 0)
     item_starts = (jnp.cumsum(n_items) - n_items).astype(jnp.int32)
     np_real = sorted_rank.shape[0]                        # = min(budget, N·side²)
     n_blocks = -(-np_real // CHUNK) + 1                   # + guard block
@@ -281,7 +286,7 @@ def pack_pairs(
         jnp.concatenate([starts, jnp.zeros((1,), jnp.int32)]),
         jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)]),
         chunk_of_item, tile_of_item, k_of_item, sorted_rank, rank, n_valid,
-        n_clipped)
+        n_clipped, total_items)
 
 
 def _composite_kernel(
@@ -298,10 +303,10 @@ def _composite_kernel(
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
-    tile = tile_ref[i]
+    tile = jax.lax.rem(tile_ref[i], tiles_x_ref[1])  # pixel-space tile in cam
     k = k_ref[i]
-    start = starts_ref[tile]
-    count = counts_ref[tile]
+    start = starts_ref[tile_ref[i]]
+    count = counts_ref[tile_ref[i]]
     chunk = chunk_ref[i]
 
     @pl.when(k == 0)
@@ -386,14 +391,16 @@ def composite_tiles_pallas(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, PIX, 8), jnp.float32),
         interpret=interpret,
     )(pairs.chunk_of_item, pairs.tile_of_item, pairs.k_of_item,
-      pairs.starts, pairs.counts, jnp.array([tiles_x], jnp.int32),
-      pairs.feats_t)
+      pairs.starts, pairs.counts,
+      jnp.array([tiles_x, num_tiles], jnp.int32), pairs.feats_t)
+    # empty tiles emit no work items (their blocks are uninitialized garbage)
+    return jnp.where((pairs.counts > 0)[:, None, None], out, 0.0)
 
 
 def _untile(flat: jnp.ndarray, tiles_x: int, tiles_y: int, h: int, w: int) -> jnp.ndarray:
@@ -435,10 +442,10 @@ def _backward_kernel(
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
-    tile = rtile_ref[i]
+    tile = jax.lax.rem(rtile_ref[i], tiles_x_ref[1])  # pixel-space tile in cam
     rk = rk_ref[i]
-    start = starts_ref[tile]
-    count = counts_ref[tile]
+    start = starts_ref[rtile_ref[i]]
+    count = counts_ref[rtile_ref[i]]
     chunk = rchunk_ref[i]
 
     cot = cot_in[0]                       # (256, 8)
@@ -595,120 +602,322 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )(rchunk, rtile, rk, first_visit,
-      pairs.starts, pairs.counts, n_items_of_tile, jnp.array([tiles_x], jnp.int32),
-      pairs.feats_t, cot_tiles)
+      pairs.starts, pairs.counts, n_items_of_tile,
+      jnp.array([tiles_x, num_tiles], jnp.int32), pairs.feats_t, cot_tiles)
+
+
+def flatten_packed(pks: "list[PackedPairs]", *, num_tiles: int) -> "FlatPairs":
+    """Flatten per-camera PackedPairs (a PYTHON list — ``pack_pairs`` must
+    not be vmapped: the batching rules for its sort/gather/scatter ops lower
+    ~2× slower even at batch 1, measured 47.7 vs 24.8 ms at 150K splats) into
+    ONE global pair space + work-item list.
+
+    TPU-shaped rationale: the Pallas grid executes serially, and a no-op grid
+    step costs ~0.8 µs (MEASUREMENTS.md "per-item overhead") — so the win is
+    running ONE kernel whose **dynamic grid** is exactly the number of real
+    (tile, chunk) overlaps across all cameras, instead of per-camera static
+    grids padded with empty-tile and guard items (the CUDA analogue launches
+    exactly numRendered threads; SURVEY §2.5 row 1).
+
+    Global ids: tile ← cam·T + tile, chunk ← cam·NB + chunk, pair ←
+    cam·NB·CHUNK + pair; cameras are CHUNK-aligned so no chunk spans two.
+    """
+    C = len(pks)
+    nbw = pks[0].feats_t.shape[1]
+    nb = nbw // CHUNK
+    # C=1: every concatenate below is the identity (XLA elides it)
+    feats = jnp.concatenate([pk.feats_t for pk in pks], axis=1)
+    starts_g = jnp.concatenate(
+        [pk.starts[:-1] + c * nbw for c, pk in enumerate(pks)]
+        + [jnp.zeros((1,), jnp.int32)])
+    counts_g = jnp.concatenate([pk.counts[:-1] for pk in pks]
+                               + [jnp.zeros((1,), jnp.int32)])
+
+    # compact the per-camera item tables: global item g belongs to camera
+    # cam(g) with local index g − off[cam]; entries beyond the real total are
+    # routed to the global guard tile (never executed — the grid is exact)
+    w = pks[0].chunk_of_item.shape[0]
+    tot = jnp.stack([pk.n_items_total for pk in pks])
+    off = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), jnp.cumsum(tot).astype(jnp.int32)])
+    g = jnp.arange(C * w, dtype=jnp.int32)
+    valid = g < off[C]
+    if C == 1:
+        chunk_g = jnp.where(valid, pks[0].chunk_of_item, nb - 1)
+        tile_g = jnp.where(valid, pks[0].tile_of_item, num_tiles)
+        k_g = jnp.where(valid, pks[0].k_of_item, 0)
+    else:
+        cam = jnp.clip(
+            jnp.searchsorted(off, g, side="right").astype(jnp.int32) - 1,
+            0, C - 1)
+        local = jnp.where(valid, g - off[cam], 0)
+        chunk_t = jnp.stack([pk.chunk_of_item for pk in pks])
+        tile_t = jnp.stack([pk.tile_of_item for pk in pks])
+        k_t = jnp.stack([pk.k_of_item for pk in pks])
+        chunk_g = jnp.where(valid, chunk_t[cam, local] + cam * nb, C * nb - 1)
+        tile_g = jnp.where(valid, tile_t[cam, local] + cam * num_tiles,
+                           C * num_tiles)
+        k_g = jnp.where(valid, k_t[cam, local], 0)
+    return FlatPairs(
+        feats, starts_g, counts_g, chunk_g, tile_g, k_g, off[C],
+        jnp.stack([pk.sorted_rank for pk in pks]),
+        jnp.stack([pk.rank for pk in pks]),
+        jnp.stack([pk.n_valid for pk in pks]),
+        jnp.stack([pk.n_clipped for pk in pks]))
+
+
+class FlatPairs(NamedTuple):
+    feats_t: jnp.ndarray        # (16, C·NB·CHUNK) flattened pair space
+    starts: jnp.ndarray         # (C·T+1,) global pair-space segment starts
+    counts: jnp.ndarray         # (C·T+1,) (+ guard 0)
+    chunk_of_item: jnp.ndarray  # (C·W,) global input block per item
+    tile_of_item: jnp.ndarray   # (C·W,) global tile per item (guard = C·T)
+    k_of_item: jnp.ndarray      # (C·W,)
+    n_items: jnp.ndarray        # () int32 traced: the DYNAMIC grid bound
+    sorted_rank: jnp.ndarray    # (C, NP) per-camera depth ranks
+    rank: jnp.ndarray           # (C, N)
+    n_valid: jnp.ndarray        # (C,)
+    n_clipped: jnp.ndarray      # (C,)
+
+
+def composite_tiles_flat(flat: FlatPairs, *, tiles_x: int, tiles_y: int,
+                         n_cams: int, interpret: bool = False,
+                         mxu_bf16: bool = False) -> jnp.ndarray:
+    """Forward kernel over the flattened item list with a grid of EXACTLY
+    ``flat.n_items`` steps (dynamic grid). Returns (C·T+1, 256, 8) with empty
+    tiles masked to zero (their blocks are never visited)."""
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(jnp.maximum(flat.n_items, 1),),
+        in_specs=[pl.BlockSpec((FDIM, CHUNK), lambda i, ch, tl, kk, st, cn, tx: (0, ch[i]),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, ch, tl, kk, st, cn, tx: (tl[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_cams * num_tiles + 1, PIX, 8), jnp.float32),
+        interpret=interpret,
+    )(flat.chunk_of_item, flat.tile_of_item, flat.k_of_item,
+      flat.starts, flat.counts, jnp.array([tiles_x, num_tiles], jnp.int32),
+      flat.feats_t)
+    return jnp.where((flat.counts > 0)[:, None, None], out, 0.0)
+
+
+def backward_tiles_flat(flat: FlatPairs, cot_tiles: jnp.ndarray, *,
+                        tiles_x: int, tiles_y: int, n_cams: int,
+                        interpret: bool = False,
+                        mxu_bf16: bool = False) -> jnp.ndarray:
+    """Backward kernel over the REVERSED flattened item list (dynamic grid).
+
+    cot_tiles: (C·T+1, 256, 8), rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
+    5 log T_final. Returns pair gradients (16, C·NB·CHUNK)."""
+    num_tiles = tiles_x * tiles_y
+    cw = flat.chunk_of_item.shape[0]
+    n = flat.n_items
+    # reversal about the dynamic total: reverse position i ↔ forward n−1−i
+    ridx = jnp.clip(n - 1 - jnp.arange(cw, dtype=jnp.int32), 0, cw - 1)
+    rchunk = flat.chunk_of_item[ridx]
+    rtile = flat.tile_of_item[ridx]
+    n_items_of_tile = jnp.zeros((n_cams * num_tiles + 1,), jnp.int32).at[
+        flat.tile_of_item].add((jnp.arange(cw) < n).astype(jnp.int32))
+    rk = n_items_of_tile[rtile] - 1 - flat.k_of_item[ridx]
+    first_visit = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (rchunk[1:] != rchunk[:-1]).astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(jnp.maximum(n, 1),),
+        in_specs=[
+            pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, 8), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32),
+                        pltpu.VMEM((PIX, 1), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_backward_kernel, mxu_bf16=mxu_bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(flat.feats_t.shape, jnp.float32),
+        interpret=interpret,
+    )(rchunk, rtile, rk, first_visit,
+      flat.starts, flat.counts, n_items_of_tile,
+      jnp.array([tiles_x, num_tiles], jnp.int32), flat.feats_t, cot_tiles)
+
+
+def _pack_and_flatten(projs, *, tiles_x, tiles_y, max_tiles_side, pair_budget):
+    # UNROLLED camera loop — never vmap pack_pairs (see flatten_packed doc)
+    n_cams = projs.means2d.shape[0]
+    pks = [pack_pairs(
+        jax.tree_util.tree_map(lambda x: x[c], projs),
+        tiles_x=tiles_x, tiles_y=tiles_y, max_tiles_side=max_tiles_side,
+        pair_budget=pair_budget) for c in range(n_cams)]
+    return flatten_packed(pks, num_tiles=tiles_x * tiles_y)
+
+
+def _flat_images(out, bg, *, tiles_x, tiles_y, n_cams, image_height,
+                 image_width):
+    per_cam = out[:n_cams * tiles_x * tiles_y].reshape(
+        n_cams, tiles_x * tiles_y, PIX, 8)
+    img5 = jax.vmap(lambda o: _untile(
+        o[:, :, 0:5], tiles_x, tiles_y, image_height, image_width))(per_cam)
+    color, depth, alpha = img5[:, 0:3], img5[:, 3:4], img5[:, 4:5]
+    image = color + (1.0 - alpha) * bg[None, :, None, None]
+    return image, depth, alpha
+
+
+def _forward_flat(projs, bg, *, image_height, image_width, max_tiles_side,
+                  pair_budget, interpret, mxu_bf16=False):
+    tiles_x = -(-image_width // TILE)
+    tiles_y = -(-image_height // TILE)
+    n_cams = projs.means2d.shape[0]
+    flat = _pack_and_flatten(projs, tiles_x=tiles_x, tiles_y=tiles_y,
+                             max_tiles_side=max_tiles_side,
+                             pair_budget=pair_budget)
+    out = composite_tiles_flat(flat, tiles_x=tiles_x, tiles_y=tiles_y,
+                               n_cams=n_cams, interpret=interpret,
+                               mxu_bf16=mxu_bf16)
+    image, depth, alpha = _flat_images(
+        out, bg, tiles_x=tiles_x, tiles_y=tiles_y, n_cams=n_cams,
+        image_height=image_height, image_width=image_width)
+    return flat, out, image, depth, alpha
 
 
 def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
              max_tiles_side, pair_budget, interpret, mxu_bf16=False):
-    tiles_x = -(-image_width // TILE)
-    tiles_y = -(-image_height // TILE)
-    pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
-                       max_tiles_side=max_tiles_side, pair_budget=pair_budget)
-    out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y,
-                                 interpret=interpret,
-                                 mxu_bf16=mxu_bf16)[:tiles_x * tiles_y]
-    img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
-    color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
-    image = color + (1.0 - alpha) * bg[:, None, None]
+    """Single-camera forward (test oracle entry) — C=1 flat path."""
+    projs = jax.tree_util.tree_map(lambda x: x[None], proj)
+    flat, _, image, depth, alpha = _forward_flat(
+        projs, bg, image_height=image_height, image_width=image_width,
+        max_tiles_side=max_tiles_side, pair_budget=pair_budget,
+        interpret=interpret, mxu_bf16=mxu_bf16)
     aux = {
-        "n_clipped": pairs.n_clipped,
-        "n_overflow": jnp.maximum(pairs.n_valid - pair_budget, 0),
+        "n_clipped": flat.n_clipped[0],
+        "n_overflow": jnp.maximum(flat.n_valid[0] - pair_budget, 0),
     }
-    return image, depth, alpha, aux
+    return image[0], depth[0], alpha[0], aux
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _rasterize_pallas_core(proj, bg, image_height, image_width,
-                           max_tiles_side, pair_budget, interpret,
-                           mxu_bf16=False):
-    img, depth, alpha, aux = _forward(
-        proj, bg, image_height=image_height, image_width=image_width,
+def _rasterize_flat_core(projs, bg, image_height, image_width,
+                         max_tiles_side, pair_budget, interpret,
+                         mxu_bf16=False):
+    flat, _, image, depth, alpha = _forward_flat(
+        projs, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
         interpret=interpret, mxu_bf16=mxu_bf16)
-    return img, depth, alpha, aux["n_clipped"], aux["n_overflow"]
+    return (image, depth, alpha, flat.n_clipped,
+            jnp.maximum(flat.n_valid - pair_budget, 0))
 
 
-def _core_fwd(proj, bg, image_height, image_width, max_tiles_side,
+def _flat_fwd(projs, bg, image_height, image_width, max_tiles_side,
               pair_budget, interpret, mxu_bf16=False):
-    tiles_x = -(-image_width // TILE)
-    tiles_y = -(-image_height // TILE)
-    pairs = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
-                       max_tiles_side=max_tiles_side, pair_budget=pair_budget)
-    out = composite_tiles_pallas(pairs, tiles_x=tiles_x, tiles_y=tiles_y,
-                                 interpret=interpret,
-                                 mxu_bf16=mxu_bf16)[:tiles_x * tiles_y]
-    img5 = _untile(out[:, :, 0:5], tiles_x, tiles_y, image_height, image_width)
-    color, depth, alpha = img5[0:3], img5[3:4], img5[4:5]
-    image = color + (1.0 - alpha) * bg[:, None, None]
-    t_final = out[:, :, 5:6]                    # (T,256,1) backward residual
-    n_clipped = pairs.n_clipped
-    n_overflow = jnp.maximum(pairs.n_valid - pair_budget, 0)
-    # keep the packed pairs as residuals: the backward reuses them instead of
-    # re-running the sort/binning (~45 ms at 150K splats; ~150 MB HBM)
+    flat, out, image, depth, alpha = _forward_flat(
+        projs, bg, image_height=image_height, image_width=image_width,
+        max_tiles_side=max_tiles_side, pair_budget=pair_budget,
+        interpret=interpret, mxu_bf16=mxu_bf16)
+    t_final = out[:, :, 5:6]                    # (C·T+1,256,1) bwd residual
+    n_clipped = flat.n_clipped
+    n_overflow = jnp.maximum(flat.n_valid - pair_budget, 0)
+    # keep the flattened pairs as residuals: the backward reuses them instead
+    # of re-running the sort/binning (~45 ms at 150K splats)
     return ((image, depth, alpha, n_clipped, n_overflow),
-            (pairs, bg, t_final, alpha, proj.means2d.shape[0]))
+            (flat, bg, t_final, alpha, projs.means2d.shape[1]))
 
 
-def _core_bwd(image_height, image_width, max_tiles_side, pair_budget,
+def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
               interpret, mxu_bf16, res, g):
-    """Dedicated Pallas backward: back-to-front suffix re-traversal over the
-    same work-item list (analytic gradients matching the forward's gating)."""
-    pairs, bg, t_final, alpha_img, n = res
+    """Dedicated Pallas backward over the flattened reversed item list."""
+    flat, bg, t_final, alpha_img, n = res
     g_img, g_depth, g_alpha, _, _ = g   # int diagnostics carry float0 cotangents
 
     tiles_x = -(-image_width // TILE)
     tiles_y = -(-image_height // TILE)
+    num_tiles = tiles_x * tiles_y
+    n_cams = g_img.shape[0]
 
-    # image = premult_color + (1-alpha)·bg  ⇒  ĝcolor = ĝimg,
-    # ĝalpha' = ĝalpha − Σ_c ĝimg_c bg_c,  ĝbg = Σ_pix ĝimg (1-alpha)
-    g_alpha_eff = g_alpha[0] - jnp.einsum("c,chw->hw", bg, g_img)
-    d_bg = jnp.einsum("chw,hw->c", g_img, 1.0 - alpha_img[0])
+    # image = premult_color + (1−alpha)·bg  ⇒  ĝcolor = ĝimg,
+    # ĝalpha' = ĝalpha − Σ_c ĝimg_c bg_c,  ĝbg = Σ_cam Σ_pix ĝimg (1−alpha)
+    g_alpha_eff = g_alpha[:, 0] - jnp.einsum("c,bchw->bhw", bg, g_img)
+    d_bg = jnp.einsum("bchw,bhw->c", g_img, 1.0 - alpha_img[:, 0])
 
-    cot_img = jnp.concatenate([g_img, g_depth, g_alpha_eff[None]], axis=0)  # (5,H,W)
+    cot_img = jnp.concatenate([g_img, g_depth, g_alpha_eff[:, None]], axis=1)
+    cot_tiles = jax.vmap(lambda ci: _tile_img(ci, tiles_x, tiles_y))(cot_img)
+    cot_tiles = cot_tiles.reshape(n_cams * num_tiles, PIX, 5)
     cot_tiles = jnp.concatenate([
-        _tile_img(cot_img, tiles_x, tiles_y),       # (T,256,5)
-        t_final,                                     # (T,256,1)
-        jnp.zeros((tiles_x * tiles_y, PIX, 2)),
+        jnp.concatenate([cot_tiles, jnp.zeros((1, PIX, 5))], axis=0),
+        t_final,
+        jnp.zeros((n_cams * num_tiles + 1, PIX, 2)),
     ], axis=-1)
-    # guard row for padding work items (they read tile index T and skip)
-    cot_tiles = jnp.concatenate(
-        [cot_tiles, jnp.zeros((1, PIX, 8))], axis=0)
 
-    pair_grads = backward_tiles_pallas(pairs, cot_tiles, tiles_x=tiles_x,
-                                       tiles_y=tiles_y, interpret=interpret,
-                                       mxu_bf16=mxu_bf16)
+    pair_grads = backward_tiles_flat(
+        flat, cot_tiles, tiles_x=tiles_x, tiles_y=tiles_y, n_cams=n_cams,
+        interpret=interpret, mxu_bf16=mxu_bf16)
 
-    np_real = pairs.sorted_rank.shape[0]           # = min(pair_budget, N·side²)
-    total_pairs = jnp.sum(pairs.counts)
-    data = pair_grads[0:10, :np_real].T            # (NP,10)
-    # pairs beyond the real segments live in never-visited (uninitialized)
-    # gradient blocks — route them to a discard segment. Accumulation happens
-    # in depth-rank space (the sort carries no splat payload); one cheap
-    # N-row gather converts back to splat order. A scatter-add is ~35 ms at
-    # 2.1M pairs but measured variants are all worse on TPU: re-sort to rank-
-    # major + sorted segment_sum needs a big-table gather (~52 ms), in-kernel
-    # VMEM accumulation costs ~100 ns/pair of serialized dynamic stores
-    # (MEASUREMENTS.md "backward reduction variants").
-    ids = jnp.where(jnp.arange(np_real) < total_pairs, pairs.sorted_rank, n)
-    seg_rank = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
-    seg = jnp.take(seg_rank, pairs.rank, axis=0)   # rank space → splat order
-    return _pack_ct(seg, n), d_bg
+    nbw = flat.feats_t.shape[1] // n_cams
+    np_real = flat.sorted_rank.shape[1]
+    pg = pair_grads.reshape(FDIM, n_cams, nbw)
+    counts_cam = flat.counts[:-1].reshape(n_cams, num_tiles)
+
+    def reduce_cam(pg_c, sorted_rank_c, rank_c, counts_c):
+        data = pg_c[0:10, :np_real].T              # (NP,10)
+        total_pairs = jnp.sum(counts_c)
+        # junk pair slots live in never-visited grad blocks → discard segment.
+        # Accumulation happens in depth-rank space; one cheap N-row gather
+        # converts back to splat order (MEASUREMENTS.md "backward reduction
+        # variants": the 35 ms segment_sum is the practical floor on TPU).
+        ids = jnp.where(jnp.arange(np_real) < total_pairs, sorted_rank_c, n)
+        seg_rank = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
+        return jnp.take(seg_rank, rank_c, axis=0)
+
+    seg = jax.vmap(reduce_cam, in_axes=(1, 0, 0, 0))(
+        pg, flat.sorted_rank, flat.rank, counts_cam)
+    return _pack_ct_batch(seg, n, n_cams), d_bg
 
 
-def _pack_ct(seg, n):
-    """(N,10) gradient rows → ProjectedGaussians cotangent."""
+def _pack_ct_batch(seg, n, n_cams):
+    """(C,N,10) gradient rows → batched ProjectedGaussians cotangent."""
     return ProjectedGaussians(
-        means2d=seg[:, 0:2],
-        conic=seg[:, 2:5],
-        depth=seg[:, 9],
-        radii=np.zeros((n,), jax.dtypes.float0),
-        rgb=seg[:, 6:9],
-        opacity=seg[:, 5],
+        means2d=seg[:, :, 0:2],
+        conic=seg[:, :, 2:5],
+        depth=seg[:, :, 9],
+        radii=np.zeros((n_cams, n), jax.dtypes.float0),
+        rgb=seg[:, :, 6:9],
+        opacity=seg[:, :, 5],
     )
 
 
-_rasterize_pallas_core.defvjp(_core_fwd, _core_bwd)
+_rasterize_flat_core.defvjp(_flat_fwd, _flat_bwd)
+
+
+def rasterize_pallas_batch(
+    projs: ProjectedGaussians,
+    *,
+    image_height: int,
+    image_width: int,
+    bg: jnp.ndarray,
+    max_tiles_side: int = 6,
+    pair_budget: int = 2_097_152,
+    interpret: bool = False,
+    mxu_bf16: bool = False,
+):
+    """Camera-batched rasterize over ONE flattened kernel launch (leading
+    axis C on every ``projs`` field). Returns batched (image, depth, alpha,
+    aux) — the production path for multi-camera training steps."""
+    img, depth, alpha, n_clipped, n_overflow = _rasterize_flat_core(
+        projs, bg, image_height, image_width, max_tiles_side, pair_budget,
+        interpret, mxu_bf16)
+    aux = {"n_clipped": n_clipped, "n_overflow": n_overflow}
+    return img, depth, alpha, aux
 
 
 def rasterize_pallas(
@@ -722,9 +931,12 @@ def rasterize_pallas(
     interpret: bool = False,
     mxu_bf16: bool = False,
 ):
-    """Drop-in for ``ops.tiled.rasterize_tiled`` (same return signature)."""
-    img, depth, alpha, n_clipped, n_overflow = _rasterize_pallas_core(
-        proj, bg, image_height, image_width, max_tiles_side, pair_budget,
-        interpret, mxu_bf16)
-    aux = {"n_clipped": n_clipped, "n_overflow": n_overflow}
-    return img, depth, alpha, aux
+    """Drop-in for ``ops.tiled.rasterize_tiled`` (same return signature) —
+    the C=1 case of the flattened batch path."""
+    projs = jax.tree_util.tree_map(lambda x: x[None], proj)
+    img, depth, alpha, aux = rasterize_pallas_batch(
+        projs, image_height=image_height, image_width=image_width, bg=bg,
+        max_tiles_side=max_tiles_side, pair_budget=pair_budget,
+        interpret=interpret, mxu_bf16=mxu_bf16)
+    return img[0], depth[0], alpha[0], {
+        "n_clipped": aux["n_clipped"][0], "n_overflow": aux["n_overflow"][0]}

@@ -160,8 +160,8 @@ def render_batch(
     if vis_mask is not None:
         opac = opac * vis_mask.astype(opac.dtype)
 
-    def one(wv, fp, cp, tfx, tfy, off):
-        proj = project_gaussians(
+    def proj_one(wv, fp, cp, tfx, tfy, off):
+        return project_gaussians(
             bundle.means3d, wv, fp, cp,
             image_width=cams.width, image_height=cams.height,
             tanfovx=tfx, tanfovy=tfy,
@@ -171,15 +171,27 @@ def render_batch(
             opacities=opac, sh_degree=bundle.active_sh_degree,
             scaling_modifier=scaling_modifier, screen_offset=off,
         )
-        image, depth, alpha, aux = _rasterize(
-            proj, image_height=cams.height, image_width=cams.width, bg=bg_color, config=config)
-        return image, depth, alpha, proj.radii, aux
 
     if screen_offset is None:
         screen_offset = jnp.zeros((cams.world_view.shape[0], bundle.means3d.shape[0], 2))
-    image, depth, alpha, radii, aux = jax.vmap(one)(
+    projs = jax.vmap(proj_one)(
         cams.world_view, cams.full_proj, cams.campos, cams.tanfovx, cams.tanfovy, screen_offset
     )
+    radii = projs.radii
+    if _resolve_backend(config) == "pallas":
+        # ONE flattened kernel launch over all cameras (dynamic exact grid)
+        # instead of vmapped per-camera launches with static padded grids
+        from gaussian_garments_tpu.ops.pallas_tiles import rasterize_pallas_batch
+
+        image, depth, alpha, aux = rasterize_pallas_batch(
+            projs, image_height=cams.height, image_width=cams.width,
+            bg=bg_color, max_tiles_side=config.max_tiles_side,
+            pair_budget=config.pair_budget, mxu_bf16=config.mxu_bf16)
+    else:
+        image, depth, alpha, aux = jax.vmap(
+            lambda p: _rasterize(p, image_height=cams.height,
+                                 image_width=cams.width, bg=bg_color,
+                                 config=config))(projs)
     return {
         "render": image,
         "depth": depth,
