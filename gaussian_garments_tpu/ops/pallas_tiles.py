@@ -59,7 +59,8 @@ ALPHA_MAX = 0.99
 TILE = 16
 PIX = TILE * TILE  # 256
 FDIM = 16
-CHUNK = 128        # pairs per work item == lane width
+CHUNK = 256        # pairs per work item (multiple of SUB)
+SUB = 128          # lanes per prefix-matmul sub-block == vreg lane width
 
 
 class PackedPairs(NamedTuple):
@@ -325,47 +326,67 @@ def _composite_kernel(
         p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
         px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
         py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
 
         f = chunk_in[:]                                     # (16,CHUNK)
-        pair_idx = chunk * CHUNK + lane                     # global pair ids
-        valid = (pair_idx >= start) & (pair_idx < start + count)
+        logt_in0 = t_ref[:]
 
-        dx = f[0:1, :] - px                                 # (256,CHUNK)
-        dy = f[1:2, :] - py
-        power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
-        ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
-        alpha = jnp.where(ok, alpha, 0.0)
-        log1ma = jnp.log1p(-alpha)
-
-        # the log-transmittance carry ALWAYS advances (even for saturated
-        # pixels) so the backward can reconstruct T from the final value
-        logt_in = t_ref[:]
-        t_ref[:] = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
-        out_ref[0, :, 5:6] = t_ref[:]
-
-        # skip the accumulation matmuls once every pixel is saturated (the
-        # gating makes their contribution exactly zero)
-        @pl.when(jnp.max(logt_in) >= LOG_T_EPS)
+        # skip the whole body once every pixel is saturated (the gating makes
+        # the contribution exactly zero) — but the log-transmittance carry
+        # must STILL advance so the backward can reconstruct T from the final
+        # value; the saturated branch advances it without matmuls
+        @pl.when(jnp.max(logt_in0) >= LOG_T_EPS)
         def _():
-            rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-            cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
             u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
+            logt_in = logt_in0
+            for b in range(CHUNK // SUB):
+                fb = f[:, b * SUB:(b + 1) * SUB]
+                dx = fb[0:1, :] - px                        # (256,SUB)
+                dy = fb[1:2, :] - py
+                power = (-0.5 * (fb[2:3, :] * dx * dx + fb[4:5, :] * dy * dy)
+                         - fb[3:4, :] * dx * dy)
+                alpha = jnp.minimum(ALPHA_MAX, fb[5:6, :] * jnp.exp(power))
+                pair_idx = chunk * CHUNK + b * SUB + lane   # global pair ids
+                valid = (pair_idx >= start) & (pair_idx < start + count)
+                ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
+                alpha = jnp.where(ok, alpha, 0.0)
+                log1ma = jnp.log1p(-alpha)
 
-            prefix = _mm(
-                log1ma, u_excl, (((1,), (0,)), ((), ())), mxu_bf16
-            )                                               # (256,CHUNK) exclusive
-            logt = logt_in + prefix
-            t = jnp.exp(logt)
-            contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
+                prefix = _mm(
+                    log1ma, u_excl, (((1,), (0,)), ((), ())), mxu_bf16
+                )                                           # (256,SUB) exclusive
+                logt = logt_in + prefix
+                t = jnp.exp(logt)
+                contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
 
-            rgbd = f[6:10, :]                               # (4,CHUNK)
-            acc4 = _mm(
-                contrib, rgbd, (((1,), (1,)), ((), ())), mxu_bf16
-            )                                               # (256,4)
-            out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
-            out_ref[0, :, 4:5] = out_ref[0, :, 4:5] + jnp.sum(contrib, axis=1, keepdims=True)
+                rgbd = fb[6:10, :]                          # (4,SUB)
+                acc4 = _mm(
+                    contrib, rgbd, (((1,), (1,)), ((), ())), mxu_bf16
+                )                                           # (256,4)
+                out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
+                out_ref[0, :, 4:5] = (out_ref[0, :, 4:5]
+                                      + jnp.sum(contrib, axis=1, keepdims=True))
+                logt_in = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
+            t_ref[:] = logt_in
+            out_ref[0, :, 5:6] = logt_in
+
+        @pl.when(jnp.max(logt_in0) < LOG_T_EPS)
+        def _():
+            # saturated: advance the carry only (cheap VPU pass, no matmuls)
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            dx = f[0:1, :] - px
+            dy = f[1:2, :] - py
+            power = (-0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy)
+                     - f[3:4, :] * dx * dy)
+            alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
+            pair_idx = chunk * CHUNK + lane_c
+            valid = (pair_idx >= start) & (pair_idx < start + count)
+            ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
+            log1ma = jnp.log1p(-jnp.where(ok, alpha, 0.0))
+            t_ref[:] = logt_in0 + jnp.sum(log1ma, axis=1, keepdims=True)
+            out_ref[0, :, 5:6] = t_ref[:]
 
 
 def composite_tiles_pallas(
@@ -477,81 +498,94 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)
     py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
 
     f = chunk_in[:]
-    pair_idx = chunk * CHUNK + lane
-    valid = (pair_idx >= start) & (pair_idx < start + count)
-
-    # recompute forward quantities for this chunk
-    dx = f[0:1, :] - px
-    dy = f[1:2, :] - py
-    power = -0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy) - f[3:4, :] * dx * dy
-    ep = jnp.exp(power)
-    raw = f[5:6, :] * ep
-    capped = raw > ALPHA_MAX
-    alpha = jnp.minimum(ALPHA_MAX, raw)
-    ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
-    alpha = jnp.where(ok, alpha, 0.0)
-    log1ma = jnp.log1p(-alpha)
-
-    rr = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
     u_suf_incl = (rr >= cc).astype(jnp.float32)   # M[j,i]=1 iff j>=i
     u_suf_excl = (rr > cc).astype(jnp.float32)    # M[j,i]=1 iff j>i
 
-    # log T before pair i = log T_after_chunk − Σ_{j>=i,in chunk} log(1-α_j)
-    # (log space: the positive exponent would overflow f32 through saturated
-    # regions where Σ log1ma ≈ −600)
-    suf_incl = _mm(
-        log1ma, u_suf_incl, (((1,), (0,)), ((), ())), mxu_bf16)
-    logt_i = t_ref[:] - suf_incl                  # (256,CHUNK)
-    t_i = jnp.exp(logt_i)
-    gate = (t_i >= T_EPS).astype(jnp.float32)
+    t_carry = t_ref[:]                            # log T after this chunk
+    s_carry = s_ref[:]                            # Σ_{j>chunk} G_j w_j
+    adds = [None] * (CHUNK // SUB)
+    # sub-blocks processed back-to-front (the chunk is depth-ascending)
+    for b in reversed(range(CHUNK // SUB)):
+        fb = f[:, b * SUB:(b + 1) * SUB]
+        pair_idx = chunk * CHUNK + b * SUB + lane
+        valid = (pair_idx >= start) & (pair_idx < start + count)
 
-    # sensitivity to the blend weight w_i: G = ĝC·c + ĝD·d + ĝA
-    rgbd = f[6:10, :]                             # (4,CHUNK)
-    g_sens = jax.lax.dot_general(
-        cot[:, 0:4], rgbd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + cot[:, 4:5]                               # (256,CHUNK)
+        # recompute forward quantities for this sub-block
+        dx = fb[0:1, :] - px
+        dy = fb[1:2, :] - py
+        power = (-0.5 * (fb[2:3, :] * dx * dx + fb[4:5, :] * dy * dy)
+                 - fb[3:4, :] * dx * dy)
+        ep = jnp.exp(power)
+        raw = fb[5:6, :] * ep
+        capped = raw > ALPHA_MAX
+        alpha = jnp.minimum(ALPHA_MAX, raw)
+        ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
+        alpha = jnp.where(ok, alpha, 0.0)
+        log1ma = jnp.log1p(-alpha)
 
-    w = gate * alpha * t_i
-    gw = g_sens * w
+        # log T before pair i = log T_after − Σ_{j>=i, in block} log(1-α_j)
+        # (log space: the positive exponent would overflow f32 through
+        # saturated regions where Σ log1ma ≈ −600)
+        suf_incl = _mm(
+            log1ma, u_suf_incl, (((1,), (0,)), ((), ())), mxu_bf16)
+        logt_i = t_carry - suf_incl               # (256,SUB)
+        t_i = jnp.exp(logt_i)
+        gate = (t_i >= T_EPS).astype(jnp.float32)
 
-    suf_gw = _mm(
-        gw, u_suf_excl, (((1,), (0,)), ((), ())), mxu_bf16)
-    s_i = s_ref[:] + suf_gw                       # Σ_{j>i} G_j w_j
+        # sensitivity to the blend weight w_i: G = ĝC·c + ĝD·d + ĝA
+        rgbd = fb[6:10, :]                        # (4,SUB)
+        g_sens = jax.lax.dot_general(
+            cot[:, 0:4], rgbd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ) + cot[:, 4:5]                           # (256,SUB)
 
-    d_alpha = gate * t_i * g_sens - s_i / (1.0 - alpha)
-    d_alpha = jnp.where(ok, d_alpha, 0.0)
-    d_alpha_un = jnp.where(capped, 0.0, d_alpha)  # min(0.99,·) gate
-    d_pow = d_alpha_un * alpha                    # dα/dpower = α (uncapped)
+        w = gate * alpha * t_i
+        gw = g_sens * w
 
-    # sanitize the geometric factors: culled splats carry non-finite projected
-    # means (w→0 division) and 0·inf would poison the reductions
-    dxs = jnp.where(ok, dx, 0.0)
-    dys = jnp.where(ok, dy, 0.0)
-    eps_ok = jnp.where(ok & jnp.logical_not(capped), ep, 0.0)
+        suf_gw = _mm(
+            gw, u_suf_excl, (((1,), (0,)), ((), ())), mxu_bf16)
+        s_i = s_carry + suf_gw                    # Σ_{j>i} G_j w_j
 
-    # per-pair reductions over pixels
-    dmx = jnp.sum(d_pow * (-(f[2:3, :] * dxs + f[3:4, :] * dys)), axis=0, keepdims=True)
-    dmy = jnp.sum(d_pow * (-(f[4:5, :] * dys + f[3:4, :] * dxs)), axis=0, keepdims=True)
-    dca = jnp.sum(d_pow * (-0.5 * dxs * dxs), axis=0, keepdims=True)
-    dcb = jnp.sum(d_pow * (-dxs * dys), axis=0, keepdims=True)
-    dcc_ = jnp.sum(d_pow * (-0.5 * dys * dys), axis=0, keepdims=True)
-    dop = jnp.sum(d_alpha_un * eps_ok, axis=0, keepdims=True)
-    grads4 = _mm(
-        cot[:, 0:4], w, (((0,), (0,)), ((), ())), mxu_bf16
-    )                                             # (4,CHUNK): dr,dg,db,dd
+        d_alpha = gate * t_i * g_sens - s_i / (1.0 - alpha)
+        d_alpha = jnp.where(ok, d_alpha, 0.0)
+        d_alpha_un = jnp.where(capped, 0.0, d_alpha)  # min(0.99,·) gate
+        d_pow = d_alpha_un * alpha                # dα/dpower = α (uncapped)
 
-    add = jnp.concatenate([
-        dmx, dmy, dca, dcb, dcc_, dop, grads4,
-        jnp.zeros((6, CHUNK), jnp.float32)], axis=0)
+        # sanitize the geometric factors: culled splats carry non-finite
+        # projected means (w→0 division); 0·inf would poison the reductions
+        dxs = jnp.where(ok, dx, 0.0)
+        dys = jnp.where(ok, dy, 0.0)
+        eps_ok = jnp.where(ok & jnp.logical_not(capped), ep, 0.0)
 
-    # carries for the next (earlier) chunk
-    s_ref[:] = s_ref[:] + jnp.sum(gw, axis=1, keepdims=True)
-    t_ref[:] = t_ref[:] - jnp.sum(log1ma, axis=1, keepdims=True)
-    return add, valid
+        # per-pair reductions over pixels
+        dmx = jnp.sum(d_pow * (-(fb[2:3, :] * dxs + fb[3:4, :] * dys)),
+                      axis=0, keepdims=True)
+        dmy = jnp.sum(d_pow * (-(fb[4:5, :] * dys + fb[3:4, :] * dxs)),
+                      axis=0, keepdims=True)
+        dca = jnp.sum(d_pow * (-0.5 * dxs * dxs), axis=0, keepdims=True)
+        dcb = jnp.sum(d_pow * (-dxs * dys), axis=0, keepdims=True)
+        dcc_ = jnp.sum(d_pow * (-0.5 * dys * dys), axis=0, keepdims=True)
+        dop = jnp.sum(d_alpha_un * eps_ok, axis=0, keepdims=True)
+        grads4 = _mm(
+            cot[:, 0:4], w, (((0,), (0,)), ((), ())), mxu_bf16
+        )                                         # (4,SUB): dr,dg,db,dd
+
+        adds[b] = jnp.concatenate([
+            dmx, dmy, dca, dcb, dcc_, dop, grads4,
+            jnp.zeros((6, SUB), jnp.float32)], axis=0)
+
+        # carries for the next (earlier) sub-block
+        s_carry = s_carry + jnp.sum(gw, axis=1, keepdims=True)
+        t_carry = t_carry - jnp.sum(log1ma, axis=1, keepdims=True)
+
+    s_ref[:] = s_carry
+    t_ref[:] = t_carry
+    return jnp.concatenate(adds, axis=1), None
 
 
 def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
