@@ -659,8 +659,15 @@ def flatten_packed(pks: "list[PackedPairs]", *, num_tiles: int) -> "FlatPairs":
     C = len(pks)
     nbw = pks[0].feats_t.shape[1]
     nb = nbw // CHUNK
-    # C=1: every concatenate below is the identity (XLA elides it)
-    feats = jnp.concatenate([pk.feats_t for pk in pks], axis=1)
+    # NOT jnp.concatenate: XLA TPU lowers a big concat as pad+select+maximum
+    # chains over the full output (6×73 MB fusions at 4 cams); per-camera
+    # dynamic_update_slice writes just the bytes once
+    if C == 1:
+        feats = pks[0].feats_t
+    else:
+        feats = jnp.zeros((FDIM, C * nbw), jnp.float32)
+        for c, pk in enumerate(pks):
+            feats = jax.lax.dynamic_update_slice(feats, pk.feats_t, (0, c * nbw))
     starts_g = jnp.concatenate(
         [pk.starts[:-1] + c * nbw for c, pk in enumerate(pks)]
         + [jnp.zeros((1,), jnp.int32)])
@@ -730,6 +737,10 @@ def composite_tiles_flat(flat: FlatPairs, *, tiles_x: int, tiles_y: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
+    # NOTE an io-aliased zeros input (so unvisited blocks stay zero without a
+    # mask) was tried and measured SLOWER: the extra aliased input block adds
+    # ~+4.4 ms to the kernel at s2 scale (breaks block pipelining). The
+    # where() mask is the cheaper way to zero empty tiles.
     out = pl.pallas_call(
         functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
         grid_spec=grid_spec,
@@ -885,13 +896,13 @@ def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
     d_bg = jnp.einsum("bchw,bhw->c", g_img, 1.0 - alpha_img[:, 0])
 
     cot_img = jnp.concatenate([g_img, g_depth, g_alpha_eff[:, None]], axis=1)
-    cot_tiles = jax.vmap(lambda ci: _tile_img(ci, tiles_x, tiles_y))(cot_img)
-    cot_tiles = cot_tiles.reshape(n_cams * num_tiles, PIX, 5)
-    cot_tiles = jnp.concatenate([
-        jnp.concatenate([cot_tiles, jnp.zeros((1, PIX, 5))], axis=0),
-        t_final,
-        jnp.zeros((n_cams * num_tiles + 1, PIX, 2)),
-    ], axis=-1)
+    cot5 = jax.vmap(lambda ci: _tile_img(ci, tiles_x, tiles_y))(cot_img)
+    cot5 = cot5.reshape(n_cams * num_tiles, PIX, 5)
+    # assembled with dynamic_update_slice (big concats lower as
+    # pad+select+maximum chains over the whole output on TPU)
+    cot_tiles = jnp.zeros((n_cams * num_tiles + 1, PIX, 8), jnp.float32)
+    cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, cot5, (0, 0, 0))
+    cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, t_final, (0, 0, 5))
 
     pair_grads = backward_tiles_flat(
         flat, cot_tiles, tiles_x=tiles_x, tiles_y=tiles_y, n_cams=n_cams,
@@ -913,8 +924,11 @@ def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
         seg_rank = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
         return jnp.take(seg_rank, rank_c, axis=0)
 
-    seg = jax.vmap(reduce_cam, in_axes=(1, 0, 0, 0))(
-        pg, flat.sorted_rank, flat.rank, counts_cam)
+    # unrolled camera loop — like pack_pairs, vmapping the scatter/gather ops
+    # here lowers far slower than the unbatched forms
+    seg = jnp.stack([
+        reduce_cam(pg[:, c], flat.sorted_rank[c], flat.rank[c], counts_cam[c])
+        for c in range(n_cams)])
     return _pack_ct_batch(seg, n, n_cams), d_bg
 
 

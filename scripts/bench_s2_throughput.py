@@ -89,6 +89,9 @@ def frame_quality(seq_dir: Path):
 
 
 def main():
+    # persistent XLA compilation cache: retries after a tunnel wedge
+    # re-use compiles instead of paying ~30 s each again
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3000,

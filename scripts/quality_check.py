@@ -68,6 +68,9 @@ def _measure():
 
 
 def main():
+    # persistent XLA compilation cache: retries after a tunnel wedge
+    # re-use compiles instead of paying ~30 s each again
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         _measure()
         return
