@@ -97,6 +97,54 @@ RANK_BITS = 18
 RANK_MASK = (1 << RANK_BITS) - 1
 
 
+def _tile_rects(proj: ProjectedGaussians, *, tiles_x: int, tiles_y: int):
+    """Per-splat tile rect (x0,y0,x1,y1) + alive mask, with opacity-aware
+    per-axis tight extents (EXACT culling).
+
+    The kernel zeroes any contribution with alpha < ALPHA_EPS, and
+    alpha = opac·exp(−½dᵀCd) with C = conic, so pairs outside the level set
+    ½dᵀCd = ln(opac/ALPHA_EPS) are identically zero in the composite. The
+    ellipse's per-axis extent is √(2τ·(C⁻¹)ₐₐ); the reference's 3σ circular
+    rect (`radii`) stays as the outer clamp, so this only removes exact
+    zeros (reference CUDA uses the plain 3σ rect). Big win after opacity
+    resets in s2 (opac 0.01 → extents shrink ~2.2×/axis) and for s3
+    visibility masking (opac 0 → no pairs at all)."""
+    means2d, radii = proj.means2d, proj.radii
+    r = radii.astype(jnp.float32)
+    ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    det = ca * cc - cb * cb
+    tau2 = 2.0 * jnp.log(jnp.maximum(proj.opacity, 1e-12) / ALPHA_EPS)
+    good = jnp.isfinite(det) & (det > 1e-24) & jnp.isfinite(tau2)
+    ex = jnp.where(good, jnp.sqrt(jnp.maximum(tau2 * cc, 0.0) /
+                                  jnp.maximum(det, 1e-24)), r)
+    ey = jnp.where(good, jnp.sqrt(jnp.maximum(tau2 * ca, 0.0) /
+                                  jnp.maximum(det, 1e-24)), r)
+    ex = jnp.minimum(jnp.where(jnp.isfinite(ex), ex, r), r)
+    ey = jnp.minimum(jnp.where(jnp.isfinite(ey), ey, r), r)
+
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - ex) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ey) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + ex + TILE - 1) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ey + TILE - 1) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+
+    alive = (radii > 0) & (proj.opacity >= ALPHA_EPS)
+    return x0, y0, x1, y1, alive
+
+
+def count_pairs(proj: ProjectedGaussians, *, tiles_x: int, tiles_y: int,
+                max_tiles_side: int) -> jnp.ndarray:
+    """Exact (tile, splat) pair count this camera generates — identical rect
+    math to ``pack_pairs``, none of its sort/gather cost. Drivers use it to
+    autosize ``RasterConfig.pair_budget`` to the scene instead of paying the
+    static-shape cost of the 2M default (all pair-space ops — sort, feature
+    gather, backward segment-sum — scale with the budget, not with the real
+    pair count; MEASUREMENTS.md)."""
+    x0, y0, x1, y1, alive = _tile_rects(proj, tiles_x=tiles_x, tiles_y=tiles_y)
+    w = jnp.clip(x1 - x0, 0, max_tiles_side)
+    h = jnp.clip(y1 - y0, 0, max_tiles_side)
+    return jnp.sum(jnp.where(alive, w * h, 0).astype(jnp.int32))
+
+
 def _mm(a, b, dims, bf16: bool):
     """dot_general with optional bf16 inputs (f32 accumulate). The MXU runs
     bf16×bf16→f32 at full rate where f32×f32 needs multi-pass decomposition
@@ -137,33 +185,7 @@ def pack_pairs(
     num_tiles = tiles_x * tiles_y
     side = max_tiles_side
 
-    r = radii.astype(jnp.float32)
-    # ---- opacity-aware per-axis tight extents (EXACT culling) ----
-    # The kernel zeroes any contribution with alpha < ALPHA_EPS, and
-    # alpha = opac·exp(−½dᵀCd) with C = conic, so pairs outside the level set
-    # ½dᵀCd = ln(opac/ALPHA_EPS) are identically zero in the composite. The
-    # ellipse's per-axis extent is √(2τ·(C⁻¹)ₐₐ); the reference's 3σ circular
-    # rect (`radii`) stays as the outer clamp, so this only removes exact
-    # zeros (reference CUDA uses the plain 3σ rect). Big win after opacity
-    # resets in s2 (opac 0.01 → extents shrink ~2.2×/axis) and for s3
-    # visibility masking (opac 0 → no pairs at all).
-    ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
-    det = ca * cc - cb * cb
-    tau2 = 2.0 * jnp.log(jnp.maximum(proj.opacity, 1e-12) / ALPHA_EPS)
-    good = jnp.isfinite(det) & (det > 1e-24) & jnp.isfinite(tau2)
-    ex = jnp.where(good, jnp.sqrt(jnp.maximum(tau2 * cc, 0.0) /
-                                  jnp.maximum(det, 1e-24)), r)
-    ey = jnp.where(good, jnp.sqrt(jnp.maximum(tau2 * ca, 0.0) /
-                                  jnp.maximum(det, 1e-24)), r)
-    ex = jnp.minimum(jnp.where(jnp.isfinite(ex), ex, r), r)
-    ey = jnp.minimum(jnp.where(jnp.isfinite(ey), ey, r), r)
-
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - ex) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ey) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + ex + TILE - 1) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ey + TILE - 1) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
-
-    alive = (radii > 0) & (proj.opacity >= ALPHA_EPS)
+    x0, y0, x1, y1, alive = _tile_rects(proj, tiles_x=tiles_x, tiles_y=tiles_y)
     n_clipped = jnp.sum((alive & (((x1 - x0) > side) | ((y1 - y0) > side))).astype(jnp.int32))
 
     order = jnp.argsort(depth)

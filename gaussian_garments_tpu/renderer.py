@@ -124,11 +124,13 @@ class BatchedCameras:
     height: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
-    def from_cameras(cls, cameras) -> "BatchedCameras":
+    def from_cameras(cls, cameras, include_images: bool = True) -> "BatchedCameras":
+        """include_images=False builds a geometry-only batch (the pair-count
+        probe batches ~100 cameras; stacking their images would be ~GBs)."""
         import numpy as np
         c0 = cameras[0]
-        has_img = c0.original_image is not None
-        has_mask = c0.gt_alpha_mask is not None
+        has_img = include_images and c0.original_image is not None
+        has_mask = include_images and c0.gt_alpha_mask is not None
         return cls(
             world_view=jnp.stack([c.world_view_transform for c in cameras]),
             full_proj=jnp.stack([c.full_proj_transform for c in cameras]),
@@ -200,6 +202,45 @@ def render_batch(
         "visibility_filter": radii > 0,
         "raster_aux": aux,
     }
+
+
+def count_pairs_batch(
+    cams: BatchedCameras,
+    bundle: SplatBundle,
+    *,
+    vis_mask: Optional[jnp.ndarray] = None,
+    scaling_modifier: float = 1.0,
+    config: RasterConfig = RasterConfig(),
+) -> jnp.ndarray:
+    """(B,) exact per-camera (tile, splat) pair counts for this bundle — the
+    probe behind ``RasterConfig.pair_budget`` autosizing (same projection and
+    rect math as ``render_batch``, no sort/render)."""
+    import jax
+
+    from gaussian_garments_tpu.ops.pallas_tiles import TILE, count_pairs
+
+    opac = bundle.opacity.reshape(-1)
+    if vis_mask is not None:
+        opac = opac * vis_mask.astype(opac.dtype)
+    tiles_x = -(-cams.width // TILE)
+    tiles_y = -(-cams.height // TILE)
+
+    def count_one(wv, fp, cp, tfx, tfy):
+        proj = project_gaussians(
+            bundle.means3d, wv, fp, cp,
+            image_width=cams.width, image_height=cams.height,
+            tanfovx=tfx, tanfovy=tfy,
+            scales=bundle.scales, rotations=bundle.rotations,
+            cov3d_precomp=bundle.cov3d_precomp,
+            shs=bundle.shs, colors_precomp=bundle.colors_precomp,
+            opacities=opac, sh_degree=bundle.active_sh_degree,
+            scaling_modifier=scaling_modifier,
+        )
+        return count_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
+                           max_tiles_side=config.max_tiles_side)
+
+    return jax.vmap(count_one)(
+        cams.world_view, cams.full_proj, cams.campos, cams.tanfovx, cams.tanfovy)
 
 
 def render(

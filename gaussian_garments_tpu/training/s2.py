@@ -72,6 +72,24 @@ def _bundle(params, binding, alive, mesh_v, mesh_f, active_sh_degree: int) -> Sp
     )
 
 
+def make_pair_counter(active_sh_degree: int = 0,
+                      raster_cfg: RasterConfig = RasterConfig()) -> Callable:
+    """Jitted (state, cams) -> (B,) exact per-camera pair counts, built from
+    the same bundle as the training step. Drivers probe this over the frame's
+    cameras to autosize ``RasterConfig.pair_budget`` (every pair-space op in
+    the rasterizer — sort, feature gather, backward segment-sum — costs the
+    static budget, not the real pair count)."""
+    from gaussian_garments_tpu.renderer import count_pairs_batch
+
+    @jax.jit
+    def count(state: S2State, cams: BatchedCameras):
+        bundle = _bundle(state.params, state.binding, state.aux.alive,
+                         state.mesh.v, state.mesh.f, active_sh_degree)
+        return count_pairs_batch(cams, bundle, config=raster_cfg)
+
+    return count
+
+
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return (x * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 

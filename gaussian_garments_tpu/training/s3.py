@@ -169,6 +169,48 @@ def _s3_losses(net, net_params, net_buffers, splats, bind, mesh_f, item: S3Item,
     return total, loss_dict
 
 
+def make_s3_pair_counter(*, raster_cfg: RasterConfig = RasterConfig(),
+                         vis_raster_hw=(256, 256)):
+    """Jitted (state, bind, mesh_f, item) -> (B,) pair counts for the
+    pair_budget autosizing probe — the ``_s3_forward`` geometry without the
+    net (local_xyz = splat rest offsets; the net's Δxyz is hinge-bounded, so
+    drivers add headroom). At 512² texels the default 2M budget makes every
+    pair-space op ~20× larger than the real pair count."""
+    from gaussian_garments_tpu.ops.pallas_tiles import TILE, count_pairs
+
+    @jax.jit
+    def count(state: S3State, bind: AG.AvatarBinding, mesh_f, item: S3Item):
+        splats = state.splats
+        tiles_x = -(-item.width // TILE)
+        tiles_y = -(-item.height // TILE)
+
+        def per_item(mesh_v, wv, fp, cp, tfx, tfy):
+            frames = MG.compute_face_frames(mesh_v, mesh_f)
+            anchor = AG.barycentric_3d(bind, mesh_v, mesh_f)
+            means3d = AG.avatar_world_xyz(splats.xyz, bind, frames, anchor)
+            scales = MG.world_scaling(splats, bind.binding, frames)
+            rotations = MG.world_rotation(splats, bind.binding, frames)
+            opacity = G.get_opacity(splats).reshape(-1)
+            vis = AG.get_visible_mask_depth(
+                bind, mesh_v, mesh_f, wv, fp,
+                image_width=vis_raster_hw[1], image_height=vis_raster_hw[0])
+            opacity = opacity * vis.astype(opacity.dtype)
+            proj = project_gaussians(
+                means3d, wv, fp, cp,
+                image_width=item.width, image_height=item.height,
+                tanfovx=tfx, tanfovy=tfy, scales=scales, rotations=rotations,
+                colors_precomp=jnp.zeros((means3d.shape[0], 3)),
+                opacities=opacity, sh_degree=0)
+            return count_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
+                               max_tiles_side=raster_cfg.max_tiles_side)
+
+        return jax.vmap(per_item)(item.mesh_v, item.world_view,
+                                  item.full_proj, item.campos,
+                                  item.tanfovx, item.tanfovy)
+
+    return count
+
+
 def make_s3_eval(net: AvatarNet, *, sh_degree: int,
                  raster_cfg: RasterConfig = RasterConfig(),
                  vis_raster_hw=(256, 256), jit: bool = True):

@@ -19,6 +19,7 @@ import numpy as np
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
     from gaussian_garments_tpu.config import DEFAULTS
@@ -54,6 +55,20 @@ def main():
 
     bg = jnp.asarray([1.0, 1, 1] if args.white_background else [0.0, 0, 0])
     cfg = RasterConfig()
+
+    # pair_budget autosizing, probed on frame 0's concatenated bundle (2×
+    # headroom for garment motion across the trajectory, pow2 bucket): at
+    # 512² texels/garment the static 2M default dominates render cost
+    from gaussian_garments_tpu.renderer import BatchedCameras, count_pairs_batch
+    updates0, vis0 = simu.forward(0, camera)
+    bundle0 = concat_bundle(updates0, vis0, args.sh_degree, override="shs")
+    pcams = BatchedCameras.from_cameras([camera], include_images=False)
+    cnt = int(np.asarray(jax.jit(
+        lambda b: count_pairs_batch(pcams, b, config=cfg))(bundle0)).max())
+    cfg = cfg.replace(pair_budget=min(
+        1 << max(15, int(np.ceil(np.log2(max(cnt * 2, 1))))), cfg.pair_budget))
+    print(f"pair count {cnt} -> pair_budget {cfg.pair_budget}")
+
     out_dir = Path(args.output_path) / "renders"
     os.makedirs(out_dir, exist_ok=True)
 

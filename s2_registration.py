@@ -139,6 +139,28 @@ def main():
     binding_counter = np.ones(len(tem["faces"]), np.int32)
     state = None
 
+    # step/probe caches live ACROSS frames: sequence frames share splat
+    # capacity and pair-budget bucket, so re-tracing per frame (the old
+    # per-frame dict) wasted seconds of host time every frame
+    steps = {}
+    pair_counter = S2.make_pair_counter(0, cfg)  # jit retraces per capacity
+
+    def autosize_budget(n_pairs_max: int) -> int:
+        """pair_budget bucket: next pow2 of a 1.5× headroom over the measured
+        per-camera max, floor 32K, capped at the configured budget. Every
+        pair-space op (sort, feature gather, backward segment-sum) costs the
+        STATIC budget, not the real pair count — at production s2 scale
+        (~35K pairs/cam vs n·side²≈286K slots) autosizing cuts the step ~25%
+        (MEASUREMENTS.md). Pow2 quantization bounds recompiles."""
+        need = max(int(n_pairs_max) * 3 // 2, 1)
+        bucket = 1 << max(15, int(np.ceil(np.log2(need))))
+        return min(bucket, cfg.pair_budget)
+
+    def probe_pair_budget(state, cams) -> int:
+        probe = BatchedCameras.from_cameras(cams, include_images=False)
+        counts = np.asarray(pair_counter(state, probe))
+        return autosize_budget(counts.max())
+
     for t in frames_iterator:
         if args.start_from > 0 and t < args.start_from:
             continue
@@ -183,7 +205,6 @@ def main():
         vert_lr = opt.position_lr_init * spatial_lr_scale
 
         b = args.cameras_per_step
-        steps = {}
         dp_mesh = None
         if args.data_parallel and jax.device_count() > 1:
             from gaussian_garments_tpu.parallel import make_data_mesh
@@ -191,20 +212,25 @@ def main():
             assert b % dp_mesh.size == 0, \
                 f"--cameras_per_step {b} must be a multiple of {dp_mesh.size} devices"
 
+        # pair-budget bucket for this frame: probed from the real scene, grown
+        # on densification and on observed overflow, never shrunk mid-frame
+        pair_budget = probe_pair_budget(state, train_cams)
+
         def get_step(mode, use_body):
-            # keyed on splat CAPACITY: densification growth (grow_capacity,
-            # models/gaussian.py) re-traces the step. Each trace is logged
-            # with its wall time so recompile overhead is visible in the
-            # JSONL metrics (reference has no such cost — dynamic tensors)
-            key = (mode, use_body, state.params.xyz.shape[0])
+            # keyed on splat CAPACITY (densification growth re-traces the
+            # step) and the pair-budget bucket. Each trace is logged with its
+            # wall time so recompile overhead is visible in the JSONL metrics
+            # (reference has no such cost — dynamic tensors)
+            key = (mode, use_body, state.params.xyz.shape[0], pair_budget)
             if key not in steps:
                 import time as _time
                 t_trace = _time.perf_counter()
+                frame_cfg = cfg.replace(pair_budget=pair_budget)
                 if dp_mesh is not None:
                     from jax import shard_map
                     from jax.sharding import PartitionSpec as P
                     raw = S2.make_s2_step(opt, mode=mode, use_body=use_body,
-                                          active_sh_degree=0, raster_cfg=cfg,
+                                          active_sh_degree=0, raster_cfg=frame_cfg,
                                           axis_name="data", jit=False)
                     steps[key] = jax.jit(shard_map(
                         raw, mesh=dp_mesh,
@@ -212,11 +238,11 @@ def main():
                         out_specs=(P(), P(), P()), check_vma=False))
                 else:
                     steps[key] = S2.make_s2_step(opt, mode=mode, use_body=use_body,
-                                                 active_sh_degree=0, raster_cfg=cfg)
+                                                 active_sh_degree=0, raster_cfg=frame_cfg)
                 build_s = _time.perf_counter() - t_trace
                 print(f"[frame {t}] new step variant {key} (capacity "
-                      f"{key[2]}); build {build_s:.2f}s (compile follows on "
-                      "first call)")
+                      f"{key[2]}, pair_budget {pair_budget}); build "
+                      f"{build_s:.2f}s (compile follows on first call)")
                 metrics_log.log(it, {}, compile_event=str(key),
                                 build_s=round(build_s, 3))
             return steps[key]
@@ -278,16 +304,27 @@ def main():
                     state, binding_counter, stats = S2.densify_and_prune_state(
                         state, opt, scene.cameras_extent, size_threshold, binding_counter,
                         rng=densify_rng)
+                    # densification adds pairs: re-probe, grow-only (the
+                    # state sync above already paid the host round-trip)
+                    pair_budget = max(pair_budget,
+                                      probe_pair_budget(state, train_cams))
                 if it % opt.opacity_reset_interval == 0 or \
                         (args.white_background and it == opt.densify_from_iter):
                     state = S2.reset_opacity_state(state)
 
             if it % 100 == 0 or it == iterations:
+                n_overflow = float(metrics["n_overflow"])
                 metrics_log.log(it, {k: float(v) for k, v in loss_dict.items()},
                                 n_splats=float(state.aux.alive.sum()),
                                 radii_max=float(metrics["radii_max"]),
-                                n_overflow=float(metrics["n_overflow"]),
+                                n_overflow=n_overflow,
                                 step_s=timer.avg.get("step", 0.0))
+                if n_overflow > 0 and pair_budget < cfg.pair_budget:
+                    # autosized budget undersized (pairs were dropped):
+                    # double the bucket; next get_step() rebuilds
+                    pair_budget = min(pair_budget * 2, cfg.pair_budget)
+                    print(f"[frame {t} iter {it}] pair overflow "
+                          f"({int(n_overflow)}); pair_budget -> {pair_budget}")
             if it % 500 == 0 or it == iterations:
                 print(f"[frame {t} iter {it}/{iterations}] "
                       + " ".join(f"{k}={float(v):.5f}" for k, v in loss_dict.items()))

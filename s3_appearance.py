@@ -152,22 +152,50 @@ def main():
         assert b % dp_mesh.size == 0, \
             f"--items_per_step {b} must be a multiple of {dp_mesh.size} devices"
 
-    def build_step(train_gaussians):
+    # pair_budget autosizing: at 512² texels the static 2M default makes every
+    # pair-space op (sort, gather, backward segment-sum) ~20× the real pair
+    # count. Probe a spread of items with the no-net geometry, 2× headroom
+    # (the net's Δxyz hinge + opacity drift), pow2 bucket, grow-only across
+    # epochs.
+    pair_counter = S3.make_s3_pair_counter(raster_cfg=cfg)
+
+    def probe_pair_budget() -> int:
+        n = min(8, len(dataset))
+        mx = 1
+        for j in range(n):
+            it_ = make_item([dataset[(j * len(dataset)) // n]])
+            mx = max(mx, int(np.asarray(
+                pair_counter(state, bind, mesh_f, it_)).max()))
+        bucket = 1 << max(15, int(np.ceil(np.log2(mx * 2))))
+        return min(bucket, cfg.pair_budget)
+
+    def build_step(train_gaussians, step_cfg):
         if dp_mesh is None:
             return S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
-                                   raster_cfg=cfg, train_gaussians=train_gaussians)
+                                   raster_cfg=step_cfg, train_gaussians=train_gaussians)
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         raw = S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
-                              raster_cfg=cfg, train_gaussians=train_gaussians,
+                              raster_cfg=step_cfg, train_gaussians=train_gaussians,
                               axis_name="data", jit=False)
         return jax.jit(shard_map(raw, mesh=dp_mesh,
                                  in_specs=(P(), P(), P(), P("data")),
                                  out_specs=(P(), P()), check_vma=False))
 
-    step_pre = build_step(train_gaussians=False)
-    step_full = build_step(train_gaussians=True)
-    eval_fn = S3.make_s3_eval(net, sh_degree=args.sh_degree, raster_cfg=cfg)
+    steps = {}   # pair_budget -> (step_pre, step_full, eval_fn)
+
+    def get_steps(budget):
+        if budget not in steps:
+            step_cfg = cfg.replace(pair_budget=budget)
+            print(f"[s3] building steps at pair_budget {budget}")
+            steps[budget] = (build_step(False, step_cfg),
+                             build_step(True, step_cfg),
+                             S3.make_s3_eval(net, sh_degree=args.sh_degree,
+                                             raster_cfg=step_cfg))
+        return steps[budget]
+
+    pair_budget = probe_pair_budget()
+    step_pre, step_full, eval_fn = get_steps(pair_budget)
 
     from gaussian_garments_tpu.utils.logging import MetricLogger
     from gaussian_garments_tpu.utils.quality import image_metrics
@@ -190,6 +218,11 @@ def main():
     for epoch in range(start_epoch, args.epochs + 1):
         # per-epoch reshuffle (reference DataLoader(shuffle=True), s3:99)
         dataset.reshuffle(epoch)
+        # re-probe the pair budget (training moves opacity/xyz); grow-only
+        new_budget = max(pair_budget, probe_pair_budget())
+        if new_budget != pair_budget:
+            pair_budget = new_budget
+            step_pre, step_full, eval_fn = get_steps(pair_budget)
         for it in range(0, len(dataset), b):
             batch = [dataset[j % len(dataset)] for j in range(it, it + b)]
             item = make_item(batch)

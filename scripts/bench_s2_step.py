@@ -52,10 +52,19 @@ def _measure():
         verts, faces, colors, max_sh_degree=0)
     mesh = MM.create(verts, faces)
     state = S2.init_state(params, aux, binding, mesh)
-    step = S2.make_s2_step(opt, mode="template_p1", use_body=False,
-                           raster_cfg=RasterConfig(backend="pallas"))
     batch = BatchedCameras.from_cameras(cams)
     bg = jnp.zeros(3)
+
+    # autosized pair budget, same policy as the s2 driver (probe → 1.5×
+    # headroom → pow2 bucket)
+    cfg0 = RasterConfig(backend="pallas")
+    counts = np.asarray(S2.make_pair_counter(0, cfg0)(state, batch))
+    budget = min(1 << max(15, int(np.ceil(np.log2(max(int(counts.max()) * 3 // 2, 1))))),
+                 cfg0.pair_budget)
+    cfg = RasterConfig(backend="pallas", pair_budget=budget)
+    print(f"pair counts/cam {counts} -> pair_budget {budget}", flush=True)
+    step = S2.make_s2_step(opt, mode="template_p1", use_body=False,
+                           raster_cfg=cfg)
 
     def run(st):
         st2, ld, m = step(st, batch, bg, 1.6e-3, 1.6e-3)
@@ -79,7 +88,6 @@ def _measure():
         from gaussian_garments_tpu.renderer import SplatBundle, render_batch
         from gaussian_garments_tpu.utils.losses import l1_loss, ssim
 
-        cfg = RasterConfig(backend="pallas")
         frames = MG.compute_face_frames(state.mesh.v, state.mesh.f)
         bundle = SplatBundle(
             means3d=MG.world_xyz(state.params, state.binding, frames),
@@ -186,7 +194,7 @@ def main():
     # --decompose jit-compiles 6 heavy programs (~30s each through the
     # tunnel): give it a longer leash; stream stdout to a file so a wedge is
     # distinguishable from a slow compile
-    budget = 900 if "--decompose" in sys.argv else 420
+    budget = 900 if ("--decompose" in sys.argv or "--render_profile" in sys.argv) else 420
     for attempt in range(4):
         out_path = f"/tmp/bench_s2_step_child_{attempt}.log"
         with open(out_path, "w") as fo:

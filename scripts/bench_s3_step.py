@@ -92,13 +92,23 @@ def _measure():
                    __import__("jax").tree_util.tree_leaves(state.net_params))
     print(f"net params: {n_params/1e6:.1f}M", flush=True)
 
+    mesh_f = jnp.asarray(faces.astype(np.int32))
+
+    # autosized pair budget (same policy as the s3 driver: probe, 2× headroom,
+    # pow2 bucket)
+    cfg0 = RasterConfig(backend="pallas")
+    counts = np.asarray(S3.make_s3_pair_counter(raster_cfg=cfg0)(
+        state, bind, mesh_f, item1))
+    budget = min(1 << max(15, int(np.ceil(np.log2(max(int(counts.max()) * 2, 1))))),
+                 cfg0.pair_budget)
+    print(f"pair counts/item {counts} -> pair_budget {budget}", flush=True)
+    cfg = RasterConfig(backend="pallas", pair_budget=budget)
+
     for B in (1, 2):
         item = make_item(B)
         step = S3.make_s3_step(net, args, sh_degree=3,
-                               raster_cfg=RasterConfig(backend="pallas"),
+                               raster_cfg=cfg,
                                train_gaussians=True)
-
-        mesh_f = jnp.asarray(faces.astype(np.int32))
 
         def run(st):
             st2, ld = step(st, bind, mesh_f, item)
@@ -121,7 +131,7 @@ def main():
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child"] + sys.argv[1:],
-                capture_output=True, text=True, timeout=420)
+                capture_output=True, text=True, timeout=900)
         except subprocess.TimeoutExpired:
             print(f"[bench] attempt {attempt} wedged (timeout)", file=sys.stderr)
             continue

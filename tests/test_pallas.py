@@ -133,6 +133,28 @@ class TestPallasBackward:
                                        atol=scale * 1e-4, err_msg=name)
 
 
+class TestPairCount:
+    def test_count_matches_pack_n_valid(self, rng):
+        """count_pairs (the pair_budget autosizing probe) must agree exactly
+        with the pair count pack_pairs actually generates."""
+        from gaussian_garments_tpu.ops.pallas_tiles import count_pairs, pack_pairs
+
+        means, scales, rots, opac, shs, _ = _scene(rng, n=200)
+        # include some near-zero opacities (exact culling) and a big splat
+        opac = np.asarray(opac).copy()
+        opac[:40] = 0.001
+        cam = make_camera(np.eye(3), np.array([0.0, 0, 3.0]), fx=150, fy=150,
+                          cx=W / 2, cy=H / 2, width=W, height=H)
+        proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
+        tiles_x, tiles_y = -(-W // 16), -(-H // 16)
+        for side in (3, 6):
+            pk = pack_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
+                            max_tiles_side=side, pair_budget=65536)
+            cnt = count_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
+                              max_tiles_side=side)
+            assert int(cnt) == int(pk.n_valid), (side, int(cnt), int(pk.n_valid))
+
+
 class TestPallasBatched:
     def test_multicam_matches_per_camera_oracle(self, rng):
         """The camera-flattened C>1 path (flatten_packed compaction, global
