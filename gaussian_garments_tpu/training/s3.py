@@ -99,9 +99,12 @@ def _splat_lr_tree(args, template: G.GaussianParams):
     return lrs
 
 
-def _s3_forward(net, net_vars, splats, bind, mesh_f, item_row, *,
+def _s3_project(net, net_vars, splats, bind, mesh_f, item_row, *,
                 sh_degree: int, raster_cfg: RasterConfig, vis_raster_hw):
-    """One item: net → shadow textures → render. Returns (image, extras)."""
+    """One item: net → shadow textures → projected splats. The rasterize
+    happens OUTSIDE the per-item vmap (``_s3_forward_batch``): vmapping the
+    rasterizer lowers its sort/gather ~2× slower even at batch 1
+    (MEASUREMENTS.md "Batched-render lessons")."""
     mesh_v = item_row["mesh_v"]
     frames = MG.compute_face_frames(mesh_v, mesh_f)
 
@@ -128,31 +131,58 @@ def _s3_forward(net, net_vars, splats, bind, mesh_f, item_row, *,
         scales=scales, rotations=rotations, shs=shs, opacities=opacity,
         sh_degree=sh_degree,
     )
-    image, depth, alpha, _ = _rasterize(
-        proj, image_height=item_row["height"], image_width=item_row["width"],
-        bg=item_row["bg"], config=raster_cfg)
-    return image, local_xyz
+    return proj, local_xyz
+
+
+def _s3_forward_batch(net, net_vars, splats, bind, mesh_f, item: "S3Item", *,
+                      sh_degree: int, raster_cfg: RasterConfig, vis_raster_hw):
+    """All items: vmapped net+geometry → ONE camera-flattened rasterizer
+    launch (same production path as the s2 step). Renders on bg=0 and
+    composites the per-item background as ``img + bg·(1−alpha)`` outside the
+    kernel — identical math, and the flattened kernel keeps a single (3,) bg.
+    Returns (rendered (B,3,H,W), local_xyz (B,N,3))."""
+    from gaussian_garments_tpu.renderer import _resolve_backend
+
+    def per_item(mesh_v, ambient, normal, wv, fp, cp, tfx, tfy):
+        row = {
+            "mesh_v": mesh_v, "ambient": ambient, "normal": normal,
+            "world_view": wv, "full_proj": fp, "campos": cp,
+            "tanfovx": tfx, "tanfovy": tfy,
+            "width": item.width, "height": item.height,
+        }
+        return _s3_project(net, net_vars, splats, bind, mesh_f, row,
+                           sh_degree=sh_degree, raster_cfg=raster_cfg,
+                           vis_raster_hw=vis_raster_hw)
+
+    projs, local_xyz = jax.vmap(per_item)(
+        item.mesh_v, item.ambient, item.normal, item.world_view,
+        item.full_proj, item.campos, item.tanfovx, item.tanfovy)
+
+    bg0 = jnp.zeros(3)
+    if _resolve_backend(raster_cfg) == "pallas":
+        from gaussian_garments_tpu.ops.pallas_tiles import rasterize_pallas_batch
+
+        image, _, alpha, _ = rasterize_pallas_batch(
+            projs, image_height=item.height, image_width=item.width, bg=bg0,
+            max_tiles_side=raster_cfg.max_tiles_side,
+            pair_budget=raster_cfg.pair_budget, mxu_bf16=raster_cfg.mxu_bf16)
+    else:
+        image, _, alpha, _ = jax.vmap(
+            lambda p: _rasterize(p, image_height=item.height,
+                                 image_width=item.width, bg=bg0,
+                                 config=raster_cfg))(projs)
+        alpha = alpha[:, None] if alpha.ndim == 3 else alpha
+    rendered = image + item.bg[:, :, None, None] * (1.0 - alpha.reshape(
+        image.shape[0], 1, item.height, item.width))
+    return rendered, local_xyz
 
 
 def _s3_losses(net, net_params, net_buffers, splats, bind, mesh_f, item: S3Item,
                args, *, sh_degree, raster_cfg, vis_raster_hw):
     net_vars = {"params": net_params, "buffers": net_buffers}
-
-    def per_item(image, mask_img, bg, mesh_v, ambient, normal, wv, fp, cp, tfx, tfy):
-        row = {
-            "mesh_v": mesh_v, "ambient": ambient, "normal": normal,
-            "world_view": wv, "full_proj": fp, "campos": cp,
-            "tanfovx": tfx, "tanfovy": tfy, "bg": bg,
-            "width": item.width, "height": item.height,
-        }
-        rendered, local_xyz = _s3_forward(
-            net, net_vars, splats, bind, mesh_f, row,
-            sh_degree=sh_degree, raster_cfg=raster_cfg, vis_raster_hw=vis_raster_hw)
-        return rendered, local_xyz
-
-    rendered, local_xyz = jax.vmap(per_item)(
-        item.image, item.mask, item.bg, item.mesh_v, item.ambient, item.normal,
-        item.world_view, item.full_proj, item.campos, item.tanfovx, item.tanfovy)
+    rendered, local_xyz = _s3_forward_batch(
+        net, net_vars, splats, bind, mesh_f, item,
+        sh_degree=sh_degree, raster_cfg=raster_cfg, vis_raster_hw=vis_raster_hw)
 
     mask = item.mask if args.only_foreground_loss else None
     loss_dict: Dict[str, jnp.ndarray] = {}
@@ -222,24 +252,11 @@ def make_s3_eval(net: AvatarNet, *, sh_degree: int,
 
     def eval_fn(state: S3State, bind: AG.AvatarBinding, mesh_f, item: S3Item):
         net_vars = {"params": state.net_params, "buffers": state.net_buffers}
-
-        def per_item(bg, mesh_v, ambient, normal, wv, fp, cp, tfx, tfy):
-            row = {
-                "mesh_v": mesh_v, "ambient": ambient, "normal": normal,
-                "world_view": wv, "full_proj": fp, "campos": cp,
-                "tanfovx": tfx, "tanfovy": tfy, "bg": bg,
-                "width": item.width, "height": item.height,
-            }
-            rendered, _ = _s3_forward(
-                net, net_vars, state.splats, bind, mesh_f, row,
-                sh_degree=sh_degree, raster_cfg=raster_cfg,
-                vis_raster_hw=vis_raster_hw)
-            return rendered
-
-        return jax.vmap(per_item)(
-            item.bg, item.mesh_v, item.ambient, item.normal,
-            item.world_view, item.full_proj, item.campos,
-            item.tanfovx, item.tanfovy)
+        rendered, _ = _s3_forward_batch(
+            net, net_vars, state.splats, bind, mesh_f, item,
+            sh_degree=sh_degree, raster_cfg=raster_cfg,
+            vis_raster_hw=vis_raster_hw)
+        return rendered
 
     return jax.jit(eval_fn) if jit else eval_fn
 

@@ -181,6 +181,15 @@ def _measure():
         print(f"ssim_fwd+bwd    {_timeit(jax.jit(ssim_bwd), img0):8.2f} ms "
               "(loss side alone)", flush=True)
 
+        # both losses on a FIXED image: imgloss_fwd+bwd − render_fwd+bwd −
+        # this = composition overhead (fusion/remat between loss and render)
+        def losses_only(img):
+            return l1_loss(img, gt, mask) + (1.0 - ssim(img, gt, mask))
+        def losses_bwd(img):
+            return jax.grad(losses_only)(img).sum()
+        print(f"losses_fwd+bwd  {_timeit(jax.jit(losses_bwd), img0):8.2f} ms "
+              "(L1+SSIM on fixed image)", flush=True)
+
     print("PROFILE_DONE", flush=True)
 
 
