@@ -1,0 +1,144 @@
+"""Inference frame latency at production scale on TPU.
+
+The per-frame inference path (reference ``inference.py:462-488``, ours
+``inference.py`` + ``doll.py``): AvatarNet 512² StyleUNet forward → per-texel
+Δxyz/ΔSH on 262K texel Gaussians → Pallas render at 940×1280, one jitted call
+(no gradients). MEASUREMENTS.md "Inference throughput". Uses the same
+autosized pair-budget policy as the inference driver.
+
+Run: python scripts/bench_inference.py [--texture 512]
+"""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timeit(fn, *args, iters=20):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    o = None
+    for _ in range(iters):
+        o = fn(*args)
+    jax.block_until_ready(o)
+    float(np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def _measure():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_garments_tpu.data import synthetic as syn
+    from gaussian_garments_tpu.data.baker import bake_textures
+    from gaussian_garments_tpu.models import avatar_gaussian as AG
+    from gaussian_garments_tpu.models import gaussian as G
+    from gaussian_garments_tpu.models import mesh_gaussian as MG
+    from gaussian_garments_tpu.models.avatar_net import AvatarNet, apply_shadow
+    from gaussian_garments_tpu.ops.pallas_tiles import TILE, count_pairs
+    from gaussian_garments_tpu.ops.projection import project_gaussians
+    from gaussian_garments_tpu.renderer import RasterConfig
+    from gaussian_garments_tpu.ops.pallas_tiles import rasterize_pallas
+
+    res = 512
+    if "--texture" in sys.argv:
+        res = int(sys.argv[sys.argv.index("--texture") + 1])
+    W, H = 940, 1280
+    sh_degree = 3
+
+    rng = np.random.RandomState(0)
+    cams, verts, faces, uvs, colors = syn.make_scene(
+        n_cams=1, nx=48, ny=48, width=W, height=H)
+    bind, _ = AG.build_binding(uvs, faces, res)
+    n = bind.binding.shape[0]
+    print(f"texels bound: {n} ({res}² texture)", flush=True)
+    splats = G.GaussianParams(
+        xyz=jnp.zeros((n, 3)),
+        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.1),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.full((n, 3), -6.5),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n, 1)),
+        opacity=jnp.full((n, 1), 2.0),
+    )
+    amb, nrm = bake_textures(bind, verts, faces, n_samples=8)
+    net = AvatarNet(texture_size=res, sh_degree=sh_degree)
+    c = cams[0]
+    key = __import__("jax").random.PRNGKey(0)
+    net_vars = net.init(key, jnp.asarray(amb), jnp.asarray(nrm),
+                        c.world_view_transform, c.camera_center,
+                        bind, jnp.asarray(verts),
+                        jnp.asarray(faces.astype(np.int32)),
+                        MG.compute_face_frames(jnp.asarray(verts),
+                                               jnp.asarray(faces.astype(np.int32))))
+    mesh_f = jnp.asarray(faces.astype(np.int32))
+    amb_j, nrm_j = jnp.asarray(amb), jnp.asarray(nrm)
+    tiles_x, tiles_y = -(-W // TILE), -(-H // TILE)
+    cfg0 = RasterConfig(backend="pallas")
+
+    def project(mesh_v):
+        frames = MG.compute_face_frames(mesh_v, mesh_f)
+        shadow_tex = net.apply(net_vars, amb_j, nrm_j, c.world_view_transform,
+                               c.camera_center, bind, mesh_v, mesh_f, frames)
+        local_xyz, shs = apply_shadow(bind, splats, shadow_tex, sh_degree)
+        anchor = AG.barycentric_3d(bind, mesh_v, mesh_f)
+        means3d = AG.avatar_world_xyz(local_xyz, bind, frames, anchor)
+        return project_gaussians(
+            means3d, c.world_view_transform, c.full_proj_transform,
+            c.camera_center,
+            image_width=W, image_height=H, tanfovx=c.tanfovx, tanfovy=c.tanfovy,
+            scales=MG.world_scaling(splats, bind.binding, frames),
+            rotations=MG.world_rotation(splats, bind.binding, frames),
+            shs=shs, opacities=G.get_opacity(splats).reshape(-1),
+            sh_degree=sh_degree)
+
+    mesh_v = jnp.asarray(verts)
+    cnt = int(np.asarray(jax.jit(lambda v: count_pairs(
+        project(v), tiles_x=tiles_x, tiles_y=tiles_y,
+        max_tiles_side=cfg0.max_tiles_side))(mesh_v)))
+    budget = min(1 << max(15, int(np.ceil(np.log2(max(cnt * 2, 1))))),
+                 cfg0.pair_budget)
+    print(f"pair count {cnt} -> pair_budget {budget}", flush=True)
+
+    @jax.jit
+    def frame(v):
+        img, depth, alpha, _ = rasterize_pallas(
+            project(v), image_height=H, image_width=W, bg=jnp.zeros(3),
+            max_tiles_side=cfg0.max_tiles_side, pair_budget=budget)
+        return img.mean()   # scalar readback (tunnel timing)
+
+    ms = _timeit(frame, mesh_v)
+    print(f"inference_frame {ms:8.2f} ms ({1000.0/ms:.1f} fps: {res}² net + "
+          f"{n} texels @{W}x{H}, 1 chip)", flush=True)
+    print("PROFILE_DONE", flush=True)
+
+
+def main():
+    # persistent XLA compilation cache: retries after a tunnel wedge
+    # re-use compiles instead of paying ~30 s each again
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _measure()
+        return
+    for attempt in range(4):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"] + sys.argv[1:],
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {attempt} wedged (timeout)", file=sys.stderr)
+            continue
+        sys.stdout.write(r.stdout)
+        if "PROFILE_DONE" in r.stdout:
+            return
+        sys.stderr.write(r.stderr[-3000:])
+
+
+if __name__ == "__main__":
+    main()

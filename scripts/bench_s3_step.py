@@ -117,6 +117,42 @@ def _measure():
         ms = _timeit(run, state)
         print(f"s3_step bs={B}  {ms:8.2f} ms  ({ms/B:.1f} ms/item -> "
               f"{1000.0*B/ms:.1f} items/s at {res}²/{W}x{H})", flush=True)
+
+    if "--profile" in sys.argv:
+        # decomposition probes at bs=1 (each is fwd+bwd of a sub-path; the
+        # full step ≈ net_bwd + render_bwd + shared fwd + Adam)
+        import jax
+
+        net_vars = {"params": state.net_params, "buffers": state.net_buffers}
+        c = cams[0]
+        frames_args = (jnp.asarray(amb), jnp.asarray(nrm),
+                       c.world_view_transform, c.camera_center, bind,
+                       jnp.asarray(verts), mesh_f)
+        from gaussian_garments_tpu.models import mesh_gaussian as MG
+        frames = MG.compute_face_frames(jnp.asarray(verts), mesh_f)
+
+        def net_fwd(p):
+            tex = net.apply({"params": p, "buffers": state.net_buffers},
+                            *frames_args, frames)
+            return sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(tex))
+
+        print(f"net_fwd         {_timeit(jax.jit(net_fwd), state.net_params):8.2f} ms",
+              flush=True)
+        print(f"net_fwd+bwd     {_timeit(jax.jit(lambda p: jax.tree_util.tree_leaves(jax.grad(net_fwd)(p))[0].sum()), state.net_params):8.2f} ms",
+              flush=True)
+
+        # full loss, differentiate ONLY the splats: the UNet backward drops
+        # out (its output is constant wrt splats) but fwd + render bwd stay
+        def loss_of(sp):
+            l, _ = S3._s3_losses(net, net_vars["params"], net_vars["buffers"],
+                                 sp, bind, mesh_f, item1, args, sh_degree=3,
+                                 raster_cfg=cfg, vis_raster_hw=(256, 256))
+            return l
+
+        print(f"fwd+render_bwd  {_timeit(jax.jit(lambda sp: jax.tree_util.tree_leaves(jax.grad(loss_of)(sp))[0].sum()), state.splats):8.2f} ms "
+              "(loss grad wrt splats only — no UNet bwd)", flush=True)
+        print(f"fwd_only        {_timeit(jax.jit(loss_of), state.splats):8.2f} ms",
+              flush=True)
     print("PROFILE_DONE", flush=True)
 
 
