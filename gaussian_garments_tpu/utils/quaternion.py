@@ -98,7 +98,10 @@ def strip_symmetric(cov: jnp.ndarray) -> jnp.ndarray:
 
 
 def covariance_from_scaling_rotation(scaling, scaling_modifier, rotation):
-    """Σ = L Lᵀ packed as 6-vector; reference ``scene/gaussian_model.py:27-31``."""
-    L = build_scaling_rotation(scaling_modifier * scaling, rotation)
-    cov = L @ jnp.swapaxes(L, -1, -2)
-    return strip_symmetric(cov)
+    """Σ = L Lᵀ packed as 6-vector; reference ``scene/gaussian_model.py:27-31``.
+
+    Delegates to the column-wise form in ``ops.projection.build_cov3d`` (no
+    (N,3,3) intermediates — see its TPU note)."""
+    from gaussian_garments_tpu.ops.projection import build_cov3d
+
+    return build_cov3d(scaling, rotation, scaling_modifier)
