@@ -24,7 +24,10 @@ Design (vector registers are 8 sublanes × 128 lanes):
   as a no-op — MEASUREMENTS.md "Batched-render lessons");
 - the front-to-back transmittance prefix is a strictly-upper-triangular
   (128×128) matmul on the MXU (parallel prefix instead of CUDA's serial loop);
-- color/depth accumulate as one (256×128)@(128×4)ᵀ MXU matmul per step;
+- color/depth accumulate as one (4×128)@(256×128)ᵀ MXU matmul per step into a
+  CHANNEL-MAJOR (8, 256) output tile — a (256, 8) tile would pad its 8-wide
+  minor dim to 128 lanes in HBM, 16×-inflating the kernel's writes and every
+  downstream pass (mask, untile, cotangent assembly, backward reads);
 - item-granular early exit once every pixel saturates (T < 1e-4), mirroring
   the CUDA per-pixel break (the DMA still streams, fully overlapped).
 
@@ -155,6 +158,19 @@ def _mm(a, b, dims, bf16: bool):
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
+def _transpose_row(row: jnp.ndarray) -> jnp.ndarray:
+    """(1, PIX) lane-major → (PIX, 1) sublane-major inside a kernel.
+
+    out[i,0] = Σₖ I[i,k]·row[0,k]: one (PIX×PIX)·(PIX×1) MXU matvec. Mosaic
+    has no direct cross-lane/sublane vector transpose; the identity mask is
+    materialized from iotas like the prefix masks."""
+    rr = jax.lax.broadcasted_iota(jnp.int32, (PIX, PIX), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (PIX, PIX), 1)
+    ident = (rr == cc).astype(jnp.float32)
+    return jax.lax.dot_general(ident, row, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def pack_pairs(
@@ -318,7 +334,10 @@ def _composite_kernel(
     # inputs (auto-pipelined (16, CHUNK) block of this item's chunk)
     chunk_in,
     # outputs (block revisited while consecutive items share a tile)
-    out_ref,            # (1, 256, 8) VMEM
+    out_ref,            # (1, 8, 256) VMEM — CHANNELS on sublanes, pixels on
+                        # lanes: the (…,8) minor dim would pad to 128 lanes in
+                        # HBM (16× traffic on every kernel write and every
+                        # downstream pass); (8,256) tiles exactly
     # scratch
     t_ref,              # (256, 1) VMEM transmittance carry
     *,
@@ -336,7 +355,7 @@ def _composite_kernel(
     def _():
         # zero init is also correct for empty tiles: premult color/alpha 0 and
         # log T_final = 0 (T=1)
-        out_ref[0] = jnp.zeros((PIX, 8), jnp.float32)
+        out_ref[0] = jnp.zeros((8, PIX), jnp.float32)
         t_ref[:] = jnp.zeros((PIX, 1), jnp.float32)   # log-transmittance
 
     # empty tiles skip everything after the k==0 init (their output is zeros
@@ -362,6 +381,7 @@ def _composite_kernel(
             rr = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
             cc = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
             u_excl = (rr < cc).astype(jnp.float32)   # M[j,i]=1 iff j<i
+            ones_r = jnp.ones((1, SUB), jnp.float32)
             logt_in = logt_in0
             for b in range(CHUNK // SUB):
                 fb = f[:, b * SUB:(b + 1) * SUB]
@@ -383,20 +403,25 @@ def _composite_kernel(
                 t = jnp.exp(logt)
                 contrib = jnp.where(t >= T_EPS, alpha * t, 0.0)
 
+                # channel-major accumulation: (4,SUB)·(256,SUB)ᵀ and two
+                # MXU matvecs put pixels on LANES of the output rows
                 rgbd = fb[6:10, :]                          # (4,SUB)
                 acc4 = _mm(
-                    contrib, rgbd, (((1,), (1,)), ((), ())), mxu_bf16
-                )                                           # (256,4)
-                out_ref[0, :, 0:4] = out_ref[0, :, 0:4] + acc4
-                out_ref[0, :, 4:5] = (out_ref[0, :, 4:5]
-                                      + jnp.sum(contrib, axis=1, keepdims=True))
+                    rgbd, contrib, (((1,), (1,)), ((), ())), mxu_bf16
+                )                                           # (4,256)
+                out_ref[0, 0:4, :] = out_ref[0, 0:4, :] + acc4
+                out_ref[0, 4:5, :] = out_ref[0, 4:5, :] + _mm(
+                    ones_r, contrib, (((1,), (1,)), ((), ())), mxu_bf16)
+                # log-T row stays f32: the backward reconstructs T from it
+                out_ref[0, 5:6, :] = out_ref[0, 5:6, :] + jax.lax.dot_general(
+                    ones_r, log1ma, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
                 logt_in = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
             t_ref[:] = logt_in
-            out_ref[0, :, 5:6] = logt_in
 
         @pl.when(jnp.max(logt_in0) < LOG_T_EPS)
         def _():
-            # saturated: advance the carry only (cheap VPU pass, no matmuls)
+            # saturated: advance the carry only (no prefix/color matmuls)
             lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             dx = f[0:1, :] - px
             dy = f[1:2, :] - py
@@ -408,7 +433,10 @@ def _composite_kernel(
             ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
             log1ma = jnp.log1p(-jnp.where(ok, alpha, 0.0))
             t_ref[:] = logt_in0 + jnp.sum(log1ma, axis=1, keepdims=True)
-            out_ref[0, :, 5:6] = t_ref[:]
+            out_ref[0, 5:6, :] = out_ref[0, 5:6, :] + jax.lax.dot_general(
+                jnp.ones((1, CHUNK), jnp.float32), log1ma,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 def composite_tiles_pallas(
@@ -419,9 +447,10 @@ def composite_tiles_pallas(
     interpret: bool = False,
     mxu_bf16: bool = False,
 ) -> jnp.ndarray:
-    """Run the kernel over the work-item list. Returns (T+1, 256, 8): cols 0-2
-    premult color, 3 depth, 4 alpha; the last row is the padding-item guard
-    tile (all zeros) — callers slice ``[:T]``."""
+    """Run the kernel over the work-item list. Returns (T+1, 8, 256): rows 0-2
+    premult color, 3 depth, 4 alpha, 5 log T_final (channel-major — see the
+    kernel's out_ref layout note); the last tile is the padding-item guard
+    (all zeros) — callers slice ``[:T]``."""
     num_tiles = tiles_x * tiles_y
     w = pairs.chunk_of_item.shape[0]
 
@@ -430,14 +459,14 @@ def composite_tiles_pallas(
         grid=(w,),
         in_specs=[pl.BlockSpec((FDIM, CHUNK), lambda i, ch, tl, kk, st, cn, tx: (0, ch[i]),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, ch, tl, kk, st, cn, tx: (tl[i], 0, 0),
+        out_specs=pl.BlockSpec((1, 8, PIX), lambda i, ch, tl, kk, st, cn, tx: (tl[i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, PIX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32),
         interpret=interpret,
     )(pairs.chunk_of_item, pairs.tile_of_item, pairs.k_of_item,
       pairs.starts, pairs.counts,
@@ -447,19 +476,22 @@ def composite_tiles_pallas(
 
 
 def _untile(flat: jnp.ndarray, tiles_x: int, tiles_y: int, h: int, w: int) -> jnp.ndarray:
-    """(T, 256, C) -> (C, H, W); pixel p of a tile is (y=p//16, x=p%16)."""
-    c = flat.shape[-1]
-    x = flat.reshape(tiles_y, tiles_x, TILE, TILE, c)
-    x = x.transpose(4, 0, 2, 1, 3).reshape(c, tiles_y * TILE, tiles_x * TILE)
+    """(T, C, 256) -> (C, H, W); pixel p of a tile is (y=p//16, x=p%16).
+
+    Channel-major tiles keep every reshape/transpose buffer's minor dim a
+    multiple of the 128-lane vreg width (a (…,C) minor dim pads C→128)."""
+    c = flat.shape[1]
+    x = flat.reshape(tiles_y, tiles_x, c, TILE, TILE)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(c, tiles_y * TILE, tiles_x * TILE)
     return x[:, :h, :w]
 
 
 def _tile_img(img: jnp.ndarray, tiles_x: int, tiles_y: int) -> jnp.ndarray:
-    """(C, H, W) -> (T, 256, C): inverse of _untile (pads to tile multiples)."""
+    """(C, H, W) -> (T, C, 256): inverse of _untile (pads to tile multiples)."""
     c, h, w = img.shape
     x = jnp.pad(img, ((0, 0), (0, tiles_y * TILE - h), (0, tiles_x * TILE - w)))
     x = x.reshape(c, tiles_y, TILE, tiles_x, TILE)
-    return x.transpose(1, 3, 2, 4, 0).reshape(tiles_y * tiles_x, PIX, c)
+    return x.transpose(1, 3, 0, 2, 4).reshape(tiles_y * tiles_x, c, PIX)
 
 
 # ---------------------------------------------------------------------------
@@ -473,8 +505,9 @@ def _backward_kernel(
     starts_ref, counts_ref, n_items_ref, tiles_x_ref,
     # inputs
     chunk_in,           # (16, CHUNK) feature block at rchunk[i]
-    cot_in,             # (1, 256, 8) cotangent block at rtile[i]:
-                        # rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha', 5 T_final
+    cot_in,             # (1, 8, 256) channel-major cotangent block at
+                        # rtile[i]: rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
+                        # 5 log T_final (same layout as the forward output)
     # outputs
     grad_ref,           # (16, CHUNK) pair-gradient block at rchunk[i]
     # scratch
@@ -491,11 +524,14 @@ def _backward_kernel(
     count = counts_ref[rtile_ref[i]]
     chunk = rchunk_ref[i]
 
-    cot = cot_in[0]                       # (256, 8)
+    cot = cot_in[0]                       # (8, 256) channel-major
 
     @pl.when(rk == 0)                     # first item of this tile (reverse order)
     def _():
-        t_ref[:] = cot[:, 5:6]            # log T_final from the forward pass
+        # log T_final from the forward pass: lane-major (1,256) row 5 →
+        # sublane-major (256,1) via an MXU identity matvec (Mosaic has no
+        # cheap vector transpose; I·vᵀ is one trivial 256×256×1 matmul)
+        t_ref[:] = _transpose_row(cot[5:6, :])
         s_ref[:] = jnp.zeros((PIX, 1), jnp.float32)
 
     @pl.when(first_chunk_visit_ref[i] == 1)
@@ -530,6 +566,7 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
 
     t_carry = t_ref[:]                            # log T after this chunk
     s_carry = s_ref[:]                            # Σ_{j>chunk} G_j w_j
+    cot_a = _transpose_row(cot[4:5, :])           # ĝalpha' → (256,1)
     adds = [None] * (CHUNK // SUB)
     # sub-blocks processed back-to-front (the chunk is depth-ascending)
     for b in reversed(range(CHUNK // SUB)):
@@ -562,9 +599,9 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
         # sensitivity to the blend weight w_i: G = ĝC·c + ĝD·d + ĝA
         rgbd = fb[6:10, :]                        # (4,SUB)
         g_sens = jax.lax.dot_general(
-            cot[:, 0:4], rgbd, (((1,), (0,)), ((), ())),
+            cot[0:4, :], rgbd, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32
-        ) + cot[:, 4:5]                           # (256,SUB)
+        ) + cot_a                                 # (256,SUB)
 
         w = gate * alpha * t_i
         gw = g_sens * w
@@ -594,7 +631,7 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
         dcc_ = jnp.sum(d_pow * (-0.5 * dys * dys), axis=0, keepdims=True)
         dop = jnp.sum(d_alpha_un * eps_ok, axis=0, keepdims=True)
         grads4 = _mm(
-            cot[:, 0:4], w, (((0,), (0,)), ((), ())), mxu_bf16
+            cot[0:4, :], w, (((1,), (0,)), ((), ())), mxu_bf16
         )                                         # (4,SUB): dr,dg,db,dd
 
         adds[b] = jnp.concatenate([
@@ -616,8 +653,8 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
                           mxu_bf16: bool = False) -> jnp.ndarray:
     """Run the backward kernel over the REVERSED work-item list.
 
-    cot_tiles: (T, 256, 8) with rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
-    5 T_final. Returns pair gradients (16, NP+CHUNK) with rows
+    cot_tiles: (T, 8, 256) channel-major with rows 0-2 ĝcolor, 3 ĝdepth,
+    4 ĝalpha', 5 log T_final. Returns pair gradients (16, NP+CHUNK) with rows
     [dmx,dmy,dA,dB,dC,dopacity,dr,dg,db,ddepth, 0...].
     """
     num_tiles = tiles_x * tiles_y
@@ -635,7 +672,7 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
     in_specs = [
         pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, PIX, 8), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
+        pl.BlockSpec((1, 8, PIX), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [pltpu.VMEM((PIX, 1), jnp.float32), pltpu.VMEM((PIX, 1), jnp.float32)]
@@ -747,7 +784,8 @@ def composite_tiles_flat(flat: FlatPairs, *, tiles_x: int, tiles_y: int,
                          n_cams: int, interpret: bool = False,
                          mxu_bf16: bool = False) -> jnp.ndarray:
     """Forward kernel over the flattened item list with a grid of EXACTLY
-    ``flat.n_items`` steps (dynamic grid). Returns (C·T+1, 256, 8) with empty
+    ``flat.n_items`` steps (dynamic grid). Returns (C·T+1, 8, 256)
+    channel-major with empty
     tiles masked to zero (their blocks are never visited)."""
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -755,7 +793,7 @@ def composite_tiles_flat(flat: FlatPairs, *, tiles_x: int, tiles_y: int,
         grid=(jnp.maximum(flat.n_items, 1),),
         in_specs=[pl.BlockSpec((FDIM, CHUNK), lambda i, ch, tl, kk, st, cn, tx: (0, ch[i]),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, PIX, 8), lambda i, ch, tl, kk, st, cn, tx: (tl[i], 0, 0),
+        out_specs=pl.BlockSpec((1, 8, PIX), lambda i, ch, tl, kk, st, cn, tx: (tl[i], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
@@ -766,7 +804,7 @@ def composite_tiles_flat(flat: FlatPairs, *, tiles_x: int, tiles_y: int,
     out = pl.pallas_call(
         functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_cams * num_tiles + 1, PIX, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_cams * num_tiles + 1, 8, PIX), jnp.float32),
         interpret=interpret,
     )(flat.chunk_of_item, flat.tile_of_item, flat.k_of_item,
       flat.starts, flat.counts, jnp.array([tiles_x, num_tiles], jnp.int32),
@@ -780,7 +818,7 @@ def backward_tiles_flat(flat: FlatPairs, cot_tiles: jnp.ndarray, *,
                         mxu_bf16: bool = False) -> jnp.ndarray:
     """Backward kernel over the REVERSED flattened item list (dynamic grid).
 
-    cot_tiles: (C·T+1, 256, 8), rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
+    cot_tiles: (C·T+1, 8, 256) channel-major, rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
     5 log T_final. Returns pair gradients (16, C·NB·CHUNK)."""
     num_tiles = tiles_x * tiles_y
     cw = flat.chunk_of_item.shape[0]
@@ -802,7 +840,7 @@ def backward_tiles_flat(flat: FlatPairs, cot_tiles: jnp.ndarray, *,
         in_specs=[
             pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, 8), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
+            pl.BlockSpec((1, 8, PIX), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -834,9 +872,9 @@ def _pack_and_flatten(projs, *, tiles_x, tiles_y, max_tiles_side, pair_budget):
 def _flat_images(out, bg, *, tiles_x, tiles_y, n_cams, image_height,
                  image_width):
     per_cam = out[:n_cams * tiles_x * tiles_y].reshape(
-        n_cams, tiles_x * tiles_y, PIX, 8)
+        n_cams, tiles_x * tiles_y, 8, PIX)
     img5 = jax.vmap(lambda o: _untile(
-        o[:, :, 0:5], tiles_x, tiles_y, image_height, image_width))(per_cam)
+        o[:, 0:5, :], tiles_x, tiles_y, image_height, image_width))(per_cam)
     color, depth, alpha = img5[:, 0:3], img5[:, 3:4], img5[:, 4:5]
     image = color + (1.0 - alpha) * bg[None, :, None, None]
     return image, depth, alpha
@@ -892,7 +930,7 @@ def _flat_fwd(projs, bg, image_height, image_width, max_tiles_side,
         projs, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
         interpret=interpret, mxu_bf16=mxu_bf16)
-    t_final = out[:, :, 5:6]                    # (C·T+1,256,1) bwd residual
+    t_final = out[:, 5:6, :]                    # (C·T+1,1,256) bwd residual
     n_clipped = flat.n_clipped
     n_overflow = jnp.maximum(flat.n_valid - pair_budget, 0)
     # keep the flattened pairs as residuals: the backward reuses them instead
@@ -919,12 +957,12 @@ def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
 
     cot_img = jnp.concatenate([g_img, g_depth, g_alpha_eff[:, None]], axis=1)
     cot5 = jax.vmap(lambda ci: _tile_img(ci, tiles_x, tiles_y))(cot_img)
-    cot5 = cot5.reshape(n_cams * num_tiles, PIX, 5)
+    cot5 = cot5.reshape(n_cams * num_tiles, 5, PIX)
     # assembled with dynamic_update_slice (big concats lower as
     # pad+select+maximum chains over the whole output on TPU)
-    cot_tiles = jnp.zeros((n_cams * num_tiles + 1, PIX, 8), jnp.float32)
+    cot_tiles = jnp.zeros((n_cams * num_tiles + 1, 8, PIX), jnp.float32)
     cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, cot5, (0, 0, 0))
-    cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, t_final, (0, 0, 5))
+    cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, t_final, (0, 5, 0))
 
     pair_grads = backward_tiles_flat(
         flat, cot_tiles, tiles_x=tiles_x, tiles_y=tiles_y, n_cams=n_cams,

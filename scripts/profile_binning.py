@@ -186,7 +186,7 @@ def _measure():
 
     bwd_pairs = jax.jit(lambda pr, ct: PT.backward_tiles_pallas(
         pr, ct, tiles_x=tiles_x, tiles_y=tiles_y))
-    cot = jnp.zeros((tiles_x * tiles_y + 1, 256, 8))
+    cot = jnp.zeros((tiles_x * tiles_y + 1, 8, 256))
     print(f"bwdkern {_timeit(bwd_pairs, pairs, cot):8.2f} ms", flush=True)
 
     pg = bwd_pairs(pairs, cot)
