@@ -62,7 +62,10 @@ ALPHA_MAX = 0.99
 TILE = 16
 PIX = TILE * TILE  # 256
 FDIM = 16
-CHUNK = 256        # pairs per work item (multiple of SUB)
+CHUNK = 256        # pairs per work item (multiple of SUB; 512 measured
+                   # SLOWER — 39.2 vs 36.1 ms at bench: the halved grid-step
+                   # count does not pay for the extra masked sub-block work
+                   # in partially-filled chunks)
 SUB = 128          # lanes per prefix-matmul sub-block == vreg lane width
 
 
