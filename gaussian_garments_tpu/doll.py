@@ -69,16 +69,17 @@ def update_garment(g: Garment, verts: np.ndarray, ambient: jnp.ndarray,
     v = jnp.asarray(np.asarray(verts, np.float32))
     f = jnp.asarray(np.asarray(g.template["faces"], np.int64).astype(np.int32))
     frames = MG.compute_face_frames(v, f)
+    rows = MG.gather_frame_rows(frames, g.bind.binding, v, f)
     shadow_tex = g.net.apply(g.net_vars, ambient, normal, world_view, campos,
-                             g.bind, v, f, frames)
+                             g.bind, v, f, frames, rows=rows)
     local_xyz, shs = apply_shadow(g.bind, g.splats, shadow_tex, g.sh_degree)
-    anchor = AG.barycentric_3d(g.bind, v, f)
+    anchor = AG.barycentric_3d(g.bind, v, f, rows=rows)
     style_rows = AG.gather_texture(g.bind, shadow_tex)[:, 3:]
     return {
-        "xyz": AG.avatar_world_xyz(local_xyz, g.bind, frames, anchor),
+        "xyz": AG.avatar_world_xyz(local_xyz, g.bind, frames, anchor, rows=rows),
         "anchor": anchor,
-        "rotation": MG.world_rotation(g.splats, g.bind.binding, frames),
-        "scaling": MG.world_scaling(g.splats, g.bind.binding, frames),
+        "rotation": MG.world_rotation(g.splats, g.bind.binding, frames, rows=rows),
+        "scaling": MG.world_scaling(g.splats, g.bind.binding, frames, rows=rows),
         "opacity": G.get_opacity(g.splats),
         "shs": shs,
         "raw_shs": G.get_features(g.splats),

@@ -112,27 +112,42 @@ def build_binding(uvs: np.ndarray, texture_faces: np.ndarray, res: int,
 # differentiable texel geometry
 # ---------------------------------------------------------------------------
 
-def barycentric_3d(bind: AvatarBinding, mesh_v: jnp.ndarray, mesh_f: jnp.ndarray) -> jnp.ndarray:
-    """3D anchor of each texel on the current mesh (reference :151-159)."""
-    tri = mesh_v[mesh_f[bind.binding]]                     # (G,3,3)
-    return jnp.einsum("gk,gkc->gc", bind.gs_bc, tri)
+def barycentric_3d(bind: AvatarBinding, mesh_v: jnp.ndarray, mesh_f: jnp.ndarray,
+                   rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """3D anchor of each texel on the current mesh (reference :151-159).
+
+    Column-wise over a per-face flattened vertex table: the nested
+    ``mesh_v[mesh_f[binding]]`` gather + batched (G,3)·(G,3,3) einsum cost
+    9.7 ms at 262K texels on TPU; one (G,9) row-gather + 9 fused
+    multiply-adds replace it (``scripts/profile_vis.py``)."""
+    if rows is None:
+        tv = mesh_v[mesh_f].reshape(-1, 9)[bind.binding]    # (G,9)
+    else:
+        tv = rows[:, MG.FR_V]
+    bc = bind.gs_bc
+    return jnp.stack([
+        bc[:, 0] * tv[:, 0 + c] + bc[:, 1] * tv[:, 3 + c]
+        + bc[:, 2] * tv[:, 6 + c] for c in range(3)], axis=1)
 
 
 def avatar_world_xyz(local_xyz: jnp.ndarray, bind: AvatarBinding,
-                     frames: MG.FaceFrames, anchor: jnp.ndarray) -> jnp.ndarray:
+                     frames: MG.FaceFrames, anchor: jnp.ndarray,
+                     rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """world = R_face @ local · s_face + anchor (reference get_xyz /
     get_final_xyz :140-148)."""
-    R = frames.orien_mat[bind.binding]
-    xyz = jnp.einsum("gij,gj->gi", R, local_xyz)
-    return xyz * frames.scaling[bind.binding][:, None] + anchor
+    if rows is None:
+        rows = MG.gather_frame_rows(frames, bind.binding)
+    xyz = MG.rows_rot_apply(rows[:, MG.FR_R], local_xyz)
+    return xyz * rows[:, MG.FR_S] + anchor
 
 
-def local_offset(bind: AvatarBinding, frames: MG.FaceFrames, gs_3d: jnp.ndarray) -> jnp.ndarray:
+def local_offset(bind: AvatarBinding, frames: MG.FaceFrames, gs_3d: jnp.ndarray,
+                 rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """World anchor → local face-frame offset (reference get_local_offset)."""
-    centers = frames.center[bind.binding]
-    global_off = (gs_3d - centers) / frames.scaling[bind.binding][:, None]
-    R = frames.orien_mat[bind.binding]
-    return jnp.einsum("gji,gj->gi", R, global_off)  # Rᵀ @ offset
+    if rows is None:
+        rows = MG.gather_frame_rows(frames, bind.binding)
+    global_off = (gs_3d - rows[:, MG.FR_C]) / rows[:, MG.FR_S]
+    return MG.rows_rot_apply_t(rows[:, MG.FR_R], global_off)  # Rᵀ @ offset
 
 
 def scatter_texture(bind: AvatarBinding, values: jnp.ndarray, channels: int) -> jnp.ndarray:
@@ -266,7 +281,8 @@ def get_visible_mask_exact(bind: AvatarBinding, mesh_v, mesh_f, cam_center) -> j
 
 def get_visible_mask_depth(bind: AvatarBinding, mesh_v, mesh_f, viewmatrix, projmatrix,
                            *, image_width: int, image_height: int,
-                           rel_tol: float = 5e-3) -> jnp.ndarray:
+                           rel_tol: float = 5e-3,
+                           rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Per-texel depth-buffer visibility — in-jit, per-texel-exact semantics.
 
     The reference ray-casts camera→anchor per texel and asks whether the first
@@ -286,11 +302,13 @@ def get_visible_mask_depth(bind: AvatarBinding, mesh_v, mesh_f, viewmatrix, proj
 
     _, depth_buf = rasterize_mesh(mesh_v, mesh_f, viewmatrix, projmatrix,
                                   image_width=image_width, image_height=image_height)
-    anchors = barycentric_3d(bind, mesh_v, mesh_f)
+    anchors = barycentric_3d(bind, mesh_v, mesh_f, rows=rows)
     xy, z = project_mesh(anchors, viewmatrix, projmatrix, image_width, image_height)
     xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, image_width - 1)
     yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, image_height - 1)
-    sampled = depth_buf[yi, xi]
+    # single flat index: a (G,2)-index 2D gather lowers as a slower
+    # mixed-index gather on TPU than the 1D flattened form
+    sampled = depth_buf.reshape(-1)[yi * image_width + xi]
     return (z > 0.0) & (z <= sampled * (1.0 + rel_tol))
 
 

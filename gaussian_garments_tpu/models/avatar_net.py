@@ -65,11 +65,15 @@ class AvatarNet(nn.Module):
         self.viewdir_net = ViewdirNet()
 
     def __call__(self, ambient, normal, world_view_transform, camera_center,
-                 bind: AG.AvatarBinding, mesh_v, mesh_f, frames):
+                 bind: AG.AvatarBinding, mesh_v, mesh_f, frames, rows=None):
         """Returns the raw (C_out, res, res) texture output.
 
         ambient: (1,res,res); normal: (3,res,res) object-space in [0,1].
+        ``rows``: optional shared (G,26) frame-row gather
+        (``MG.gather_frame_rows``) so hot paths pay the texel gather once.
         """
+        from gaussian_garments_tpu.models import mesh_gaussian as MG
+
         res = self.texture_size
         # "camera-space" normal with the reference's transposed contraction
         valid = (normal.sum(0, keepdims=True) > 0).astype(jnp.float32)
@@ -78,11 +82,14 @@ class AvatarNet(nn.Module):
         nc = nc / jnp.maximum(jnp.linalg.norm(nc, axis=0, keepdims=True), 1e-12)
 
         # local view dirs scattered with the (u,u) quirk
-        gs_3d = AG.barycentric_3d(bind, mesh_v, mesh_f)
+        gs_3d = AG.barycentric_3d(bind, mesh_v, mesh_f, rows=rows)
         dir_pp = gs_3d - camera_center[None]
         dir_pp = dir_pp / jnp.maximum(jnp.linalg.norm(dir_pp, axis=1, keepdims=True), 1e-12)
-        R = frames.orien_mat[bind.binding]
-        local_viewdir = jnp.einsum("gji,gj->gi", R, dir_pp)      # Rᵀ @ dir
+        if rows is None:
+            rows9 = MG.gather_frame_rows(frames, bind.binding)[:, MG.FR_R]
+        else:
+            rows9 = rows[:, MG.FR_R]
+        local_viewdir = MG.rows_rot_apply_t(rows9, dir_pp)       # Rᵀ @ dir
         uu_flat = bind.gs_u.astype(jnp.int32) * res + bind.gs_u.astype(jnp.int32)
         vd_flat = jnp.zeros((res * res, 3)).at[uu_flat].set(local_viewdir)
         viewdir_map = vd_flat.reshape(res, res, 3).transpose(2, 0, 1)

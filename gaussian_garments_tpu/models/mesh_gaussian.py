@@ -51,20 +51,80 @@ def compute_face_frames(v: jnp.ndarray, f: jnp.ndarray) -> FaceFrames:
 
 # ---------------------------------------------------------------------------
 # local -> world (differentiable, inside jit)
+#
+# Column-wise frame rows: the per-splat (3,3)/(4,)/(1,)/(3,) gathers and the
+# batched tiny ``einsum("mij,mj->mi")`` matmuls materialize (8,128)-padded
+# (N,3,3) intermediates on TPU (the same pathology the column-wise cov3d
+# rewrite removed from projection — MEASUREMENTS.md). Instead the F-row frame
+# table is flattened once and ONE wide row-gather feeds pure column
+# arithmetic; gather cost on TPU is per ROW, width nearly free.
 # ---------------------------------------------------------------------------
 
-def world_xyz(params: G.GaussianParams, binding: jnp.ndarray, frames: FaceFrames) -> jnp.ndarray:
-    R = frames.orien_mat[binding]
-    xyz = jnp.einsum("mij,mj->mi", R, params.xyz)
-    return xyz * frames.scaling[binding][:, None] + frames.center[binding]
+# frame-row table layout (frame_rows / gather_frame_rows)
+FR_R = slice(0, 9)        # R row-major (R[i,j] at 3i+j)
+FR_Q = slice(9, 13)       # normalized wxyz quaternion
+FR_S = slice(13, 14)      # isotropic face scale
+FR_C = slice(14, 17)      # face center
+FR_V = slice(17, 26)      # face vertices v0|v1|v2 (only with mesh_v/mesh_f)
 
 
-def world_scaling(params: G.GaussianParams, binding: jnp.ndarray, frames: FaceFrames) -> jnp.ndarray:
-    return jnp.exp(params.scaling) * frames.scaling[binding][:, None]
+def frame_rows(frames: FaceFrames, mesh_v: Optional[jnp.ndarray] = None,
+               mesh_f: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(F,17) flattened frame table — or (F,26) with the face-vertex columns
+    appended (for barycentric anchors). All work here is F-sized (cheap)."""
+    cols = [
+        frames.orien_mat.reshape(-1, 9),
+        quat_normalize(frames.orien_quat),
+        frames.scaling[:, None],
+        frames.center,
+    ]
+    if mesh_v is not None:
+        cols.append(mesh_v[mesh_f].reshape(-1, 9))
+    return jnp.concatenate(cols, axis=1)
 
 
-def world_rotation(params: G.GaussianParams, binding: jnp.ndarray, frames: FaceFrames) -> jnp.ndarray:
-    q_face = quat_normalize(frames.orien_quat[binding])
+def gather_frame_rows(frames: FaceFrames, binding: jnp.ndarray,
+                      mesh_v: Optional[jnp.ndarray] = None,
+                      mesh_f: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """One (N, 17|26) row-gather of the frame table. Hot paths compute this
+    once and pass it to every ``rows=``-accepting geometry function."""
+    return frame_rows(frames, mesh_v, mesh_f)[binding]
+
+
+def rows_rot_apply(r9: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+    """R @ v with R as row-major columns: out_i = Σ_j r9[:,3i+j]·v_j."""
+    return jnp.stack([
+        r9[:, 3 * i + 0] * vec[:, 0] + r9[:, 3 * i + 1] * vec[:, 1]
+        + r9[:, 3 * i + 2] * vec[:, 2] for i in range(3)], axis=1)
+
+
+def rows_rot_apply_t(r9: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+    """Rᵀ @ v: out_j = Σ_i r9[:,3i+j]·v_i."""
+    return jnp.stack([
+        r9[:, 0 + j] * vec[:, 0] + r9[:, 3 + j] * vec[:, 1]
+        + r9[:, 6 + j] * vec[:, 2] for j in range(3)], axis=1)
+
+
+def world_xyz(params: G.GaussianParams, binding: jnp.ndarray, frames: FaceFrames,
+              rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    if rows is None:
+        rows = gather_frame_rows(frames, binding)
+    xyz = rows_rot_apply(rows[:, FR_R], params.xyz)
+    return xyz * rows[:, FR_S] + rows[:, FR_C]
+
+
+def world_scaling(params: G.GaussianParams, binding: jnp.ndarray, frames: FaceFrames,
+                  rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    fs = rows[:, FR_S] if rows is not None else frames.scaling[binding][:, None]
+    return jnp.exp(params.scaling) * fs
+
+
+def world_rotation(params: G.GaussianParams, binding: jnp.ndarray, frames: FaceFrames,
+                   rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    # the table stores the quat already normalized (normalize commutes with
+    # the gather)
+    q_face = rows[:, FR_Q] if rows is not None \
+        else quat_normalize(frames.orien_quat[binding])
     q_local = quat_normalize(params.rotation)
     return quat_normalize(quat_multiply(q_face, q_local))
 

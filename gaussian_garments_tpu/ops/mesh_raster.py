@@ -78,13 +78,18 @@ def rasterize_mesh(
     lx = local % tile_size
     ly = local // tile_size
 
+    # one flattened (F,9) triangle table [ax ay bx by cx cy za zb zc]: a
+    # single row-gather per tile instead of separate (K,3,2)/(K,3) gathers
+    tri_tab = jnp.concatenate([tri_xy.reshape(-1, 6), tri_z], axis=1)
+
     def one_tile(idx_t, mask_t, origin_t):
         px = origin_t[0] + lx + 0.5   # pixel centers (pytorch3d convention)
         py = origin_t[1] + ly + 0.5
-        a = tri_xy[idx_t][:, 0]       # (K,2)
-        b = tri_xy[idx_t][:, 1]
-        c = tri_xy[idx_t][:, 2]
-        za, zb, zc = tri_z[idx_t][:, 0], tri_z[idx_t][:, 1], tri_z[idx_t][:, 2]
+        rows = tri_tab[idx_t]         # (K,9)
+        a = rows[:, 0:2]
+        b = rows[:, 2:4]
+        c = rows[:, 4:6]
+        za, zb, zc = rows[:, 6], rows[:, 7], rows[:, 8]
 
         def edge(p0, p1):
             # E(P; p0→p1) = cross(p1-p0, P-p0): ≥0 inside CCW triangles,

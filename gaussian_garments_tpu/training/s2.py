@@ -62,11 +62,12 @@ def init_state(params, aux, binding, mesh: MM.MeshState) -> S2State:
 
 def _bundle(params, binding, alive, mesh_v, mesh_f, active_sh_degree: int) -> SplatBundle:
     frames = MG.compute_face_frames(mesh_v, mesh_f)
+    rows = MG.gather_frame_rows(frames, binding)    # one shared row-gather
     return SplatBundle(
-        means3d=MG.world_xyz(params, binding, frames),
+        means3d=MG.world_xyz(params, binding, frames, rows=rows),
         opacity=G.get_opacity(params) * alive[:, None],
-        scales=MG.world_scaling(params, binding, frames),
-        rotations=MG.world_rotation(params, binding, frames),
+        scales=MG.world_scaling(params, binding, frames, rows=rows),
+        rotations=MG.world_rotation(params, binding, frames, rows=rows),
         shs=G.get_features(params),
         active_sh_degree=active_sh_degree,
     )

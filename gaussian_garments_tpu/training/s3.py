@@ -107,21 +107,24 @@ def _s3_project(net, net_vars, splats, bind, mesh_f, item_row, *,
     (MEASUREMENTS.md "Batched-render lessons")."""
     mesh_v = item_row["mesh_v"]
     frames = MG.compute_face_frames(mesh_v, mesh_f)
+    # ONE (G,26) frame-row gather shared by the net, anchors, world pose and
+    # visibility (column-wise texel geometry; MEASUREMENTS.md)
+    rows = MG.gather_frame_rows(frames, bind.binding, mesh_v, mesh_f)
 
     shadow_tex = net.apply(net_vars, item_row["ambient"], item_row["normal"],
                            item_row["world_view"], item_row["campos"],
-                           bind, mesh_v, mesh_f, frames)
+                           bind, mesh_v, mesh_f, frames, rows=rows)
     local_xyz, shs = apply_shadow(bind, splats, shadow_tex, sh_degree)
 
-    anchor = AG.barycentric_3d(bind, mesh_v, mesh_f)
-    means3d = AG.avatar_world_xyz(local_xyz, bind, frames, anchor)
-    scales = MG.world_scaling(splats, bind.binding, frames)
-    rotations = MG.world_rotation(splats, bind.binding, frames)
+    anchor = AG.barycentric_3d(bind, mesh_v, mesh_f, rows=rows)
+    means3d = AG.avatar_world_xyz(local_xyz, bind, frames, anchor, rows=rows)
+    scales = MG.world_scaling(splats, bind.binding, frames, rows=rows)
+    rotations = MG.world_rotation(splats, bind.binding, frames, rows=rows)
     opacity = G.get_opacity(splats).reshape(-1)
 
     vis = AG.get_visible_mask_depth(
         bind, mesh_v, mesh_f, item_row["world_view"], item_row["full_proj"],
-        image_width=vis_raster_hw[1], image_height=vis_raster_hw[0])
+        image_width=vis_raster_hw[1], image_height=vis_raster_hw[0], rows=rows)
     opacity = opacity * vis.astype(opacity.dtype)
 
     proj = project_gaussians(
@@ -216,14 +219,16 @@ def make_s3_pair_counter(*, raster_cfg: RasterConfig = RasterConfig(),
 
         def per_item(mesh_v, wv, fp, cp, tfx, tfy):
             frames = MG.compute_face_frames(mesh_v, mesh_f)
-            anchor = AG.barycentric_3d(bind, mesh_v, mesh_f)
-            means3d = AG.avatar_world_xyz(splats.xyz, bind, frames, anchor)
-            scales = MG.world_scaling(splats, bind.binding, frames)
-            rotations = MG.world_rotation(splats, bind.binding, frames)
+            rows = MG.gather_frame_rows(frames, bind.binding, mesh_v, mesh_f)
+            anchor = AG.barycentric_3d(bind, mesh_v, mesh_f, rows=rows)
+            means3d = AG.avatar_world_xyz(splats.xyz, bind, frames, anchor, rows=rows)
+            scales = MG.world_scaling(splats, bind.binding, frames, rows=rows)
+            rotations = MG.world_rotation(splats, bind.binding, frames, rows=rows)
             opacity = G.get_opacity(splats).reshape(-1)
             vis = AG.get_visible_mask_depth(
                 bind, mesh_v, mesh_f, wv, fp,
-                image_width=vis_raster_hw[1], image_height=vis_raster_hw[0])
+                image_width=vis_raster_hw[1], image_height=vis_raster_hw[0],
+                rows=rows)
             opacity = opacity * vis.astype(opacity.dtype)
             proj = project_gaussians(
                 means3d, wv, fp, cp,

@@ -92,12 +92,14 @@ def _measure():
         image_width=256, image_height=256).astype(jnp.float32), v)
 
     # 2. geometry chain: frames -> anchor -> world xyz/scales/rots
+    # (shared frame-row gather, exactly as _s3_project composes it)
     def geom(sp_xyz, vv):
         frames = MG.compute_face_frames(vv, f)
-        anchor = AG.barycentric_3d(bind, vv, f)
-        means3d = AG.avatar_world_xyz(sp_xyz, bind, frames, anchor)
-        scales = MG.world_scaling(splats, bind.binding, frames)
-        rots = MG.world_rotation(splats, bind.binding, frames)
+        rows = MG.gather_frame_rows(frames, bind.binding, vv, f)
+        anchor = AG.barycentric_3d(bind, vv, f, rows=rows)
+        means3d = AG.avatar_world_xyz(sp_xyz, bind, frames, anchor, rows=rows)
+        scales = MG.world_scaling(splats, bind.binding, frames, rows=rows)
+        rots = MG.world_rotation(splats, bind.binding, frames, rows=rows)
         return means3d, scales, rots
     t("geom_chain", geom, splats.xyz, v, grad_of=0)
 
@@ -119,13 +121,17 @@ def _measure():
 
     # 5. rasterize fwd / fwd+bwd at this scale (1 cam), autosized-ish budget
     projs = jax.tree_util.tree_map(lambda x: x[None], jax.jit(proj_fn)(means3d, shs))
+    radii_const = projs.radii  # int field must stay out of grad argnums
 
-    def rast(p):
+    def rast(m2, conic, depthv, rgb, opac):
+        p = projs.replace(means2d=m2, conic=conic, depth=depthv,
+                          rgb=rgb, opacity=opac)
         img, d, a, _ = rasterize_pallas_batch(
             p, image_height=H, image_width=W, bg=jnp.zeros(3),
             pair_budget=1 << 21)
         return img
-    t("rasterize_1cam_2^21", rast, projs, grad_of=0)
+    t("rasterize_1cam_2^21", rast, projs.means2d, projs.conic, projs.depth,
+      projs.rgb, projs.opacity, grad_of=(0, 1, 2, 3, 4))
 
     print("PROFILE_DONE", flush=True)
 
