@@ -41,6 +41,18 @@ thresholds as the forward — mirrored in ``ops/rasterizer_ref.py`` and
 
 Feature rows (16, padded): [0]=mean_x [1]=mean_y [2]=conic_a [3]=conic_b
 [4]=conic_c [5]=opacity [6]=r [7]=g [8]=b [9]=view_depth [10:16]=pad.
+
+Packed bf16 feature rows (``feats_packed``, auto beyond ~190K splats): the
+(N,16) f32 table costs 26-45 ms to gather 2.1M rows once it exceeds the
+~12 MB on-chip working set (vs ~9-12 ms under it — measured cliff,
+``scripts/profile_gather_cliff.py``); a bf16 table halves the bytes and
+restores the fast gather at 262K texel-splat scale. Precision-critical
+columns are split hi/lo (hi=bf16(x), lo=bf16(x−hi): ~7.6e-6 relative — the
+pair ≈ f16-extended): [0]=mx_hi [1]=mx_lo [2]=my_hi [3]=my_lo [4]=ca_hi
+[5]=ca_lo [6]=cb_hi [7]=cb_lo [8]=cc_hi [9]=cc_lo [10]=opacity [11]=r
+[12]=g [13]=b [14]=d_hi [15]=d_lo; opacity/rgb stay single bf16 (≤0.4%
+relative, below the 1/255 alpha masking granularity). Both kernels
+reconstruct f32 rows via ``_unpack_block``; pair-gradient outputs stay f32.
 """
 from __future__ import annotations
 
@@ -163,6 +175,28 @@ def _mm(a, b, dims, bf16: bool):
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
 
 
+# feature tables beyond this byte size fall off the fast-gather working set
+# (measured cliff between 8.5 and 16.8 MB; scripts/profile_gather_cliff.py)
+FEATS_PACK_BYTES = 12_000_000
+
+
+def _unpack_block(fb, packed: bool):
+    """(16,W) feature block slice → named f32 rows
+    (mx, my, ca, cb, cc, opacity, rgbd(4,W))."""
+    if not packed:
+        return (fb[0:1, :], fb[1:2, :], fb[2:3, :], fb[3:4, :], fb[4:5, :],
+                fb[5:6, :], fb[6:10, :])
+    c = lambda i: fb[i:i + 1, :].astype(jnp.float32)
+    mx = c(0) + c(1)
+    my = c(2) + c(3)
+    ca = c(4) + c(5)
+    cb = c(6) + c(7)
+    cc = c(8) + c(9)
+    op = c(10)
+    rgbd = jnp.concatenate([c(11), c(12), c(13), c(14) + c(15)], axis=0)
+    return (mx, my, ca, cb, cc, op, rgbd)
+
+
 def _transpose_row(row: jnp.ndarray) -> jnp.ndarray:
     """(1, PIX) lane-major → (PIX, 1) sublane-major inside a kernel.
 
@@ -183,6 +217,7 @@ def pack_pairs(
     tiles_y: int,
     max_tiles_side: int,
     pair_budget: int,
+    feats_packed: "bool | None" = None,
 ) -> PackedPairs:
     """Binning + pair-space feature gather + work-item tables (XLA): CUDA's
     duplicateWithKeys + radix sort + identifyTileRanges.
@@ -307,15 +342,37 @@ def pack_pairs(
     # ---- pair-space feature gather: the (N,16) table is permuted into depth
     # -rank order first (cheap N-row gather), so the big gather indexes by the
     # key's rank bits directly — no splat-id recovery gather needed ----
-    zrow = jnp.zeros((n,))
-    feats_rows = jnp.stack([
-        proj.means2d[:, 0], proj.means2d[:, 1],
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        proj.opacity,
-        proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
-        proj.depth,
-        zrow, zrow, zrow, zrow, zrow, zrow,
-    ], axis=1)[order]                                   # (N, 16), rank order
+    if feats_packed is None:
+        feats_packed = n * FDIM * 4 > FEATS_PACK_BYTES
+    if feats_packed:
+        def sp(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+        mxh, mxl = sp(proj.means2d[:, 0])
+        myh, myl = sp(proj.means2d[:, 1])
+        cah, cal = sp(proj.conic[:, 0])
+        cbh, cbl = sp(proj.conic[:, 1])
+        cch, ccl = sp(proj.conic[:, 2])
+        dh, dl = sp(proj.depth)
+        feats_rows = jnp.stack([
+            mxh, mxl, myh, myl, cah, cal, cbh, cbl, cch, ccl,
+            proj.opacity.astype(jnp.bfloat16),
+            proj.rgb[:, 0].astype(jnp.bfloat16),
+            proj.rgb[:, 1].astype(jnp.bfloat16),
+            proj.rgb[:, 2].astype(jnp.bfloat16),
+            dh, dl,
+        ], axis=1)[order]                               # (N, 16) bf16
+    else:
+        zrow = jnp.zeros((n,))
+        feats_rows = jnp.stack([
+            proj.means2d[:, 0], proj.means2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.opacity,
+            proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
+            proj.depth,
+            zrow, zrow, zrow, zrow, zrow, zrow,
+        ], axis=1)[order]                               # (N, 16), rank order
     # junk ranks (RANK_MASK) MUST clamp, not NaN-fill (jnp.take's default):
     # the kernel masks junk lanes to zero contribution, but 0 × NaN = NaN
     # inside the accumulation matmuls
@@ -345,6 +402,7 @@ def _composite_kernel(
     t_ref,              # (256, 1) VMEM transmittance carry
     *,
     mxu_bf16: bool = False,
+    feats_packed: bool = False,
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
@@ -388,11 +446,11 @@ def _composite_kernel(
             logt_in = logt_in0
             for b in range(CHUNK // SUB):
                 fb = f[:, b * SUB:(b + 1) * SUB]
-                dx = fb[0:1, :] - px                        # (256,SUB)
-                dy = fb[1:2, :] - py
-                power = (-0.5 * (fb[2:3, :] * dx * dx + fb[4:5, :] * dy * dy)
-                         - fb[3:4, :] * dx * dy)
-                alpha = jnp.minimum(ALPHA_MAX, fb[5:6, :] * jnp.exp(power))
+                mx, my, ca, cb, cc, op, rgbd = _unpack_block(fb, feats_packed)
+                dx = mx - px                                # (256,SUB)
+                dy = my - py
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
                 pair_idx = chunk * CHUNK + b * SUB + lane   # global pair ids
                 valid = (pair_idx >= start) & (pair_idx < start + count)
                 ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
@@ -408,7 +466,6 @@ def _composite_kernel(
 
                 # channel-major accumulation: (4,SUB)·(256,SUB)ᵀ and two
                 # MXU matvecs put pixels on LANES of the output rows
-                rgbd = fb[6:10, :]                          # (4,SUB)
                 acc4 = _mm(
                     rgbd, contrib, (((1,), (1,)), ((), ())), mxu_bf16
                 )                                           # (4,256)
@@ -426,11 +483,11 @@ def _composite_kernel(
         def _():
             # saturated: advance the carry only (no prefix/color matmuls)
             lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            dx = f[0:1, :] - px
-            dy = f[1:2, :] - py
-            power = (-0.5 * (f[2:3, :] * dx * dx + f[4:5, :] * dy * dy)
-                     - f[3:4, :] * dx * dy)
-            alpha = jnp.minimum(ALPHA_MAX, f[5:6, :] * jnp.exp(power))
+            mx, my, ca, cb, cc, op, _ = _unpack_block(f, feats_packed)
+            dx = mx - px
+            dy = my - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
             pair_idx = chunk * CHUNK + lane_c
             valid = (pair_idx >= start) & (pair_idx < start + count)
             ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
@@ -467,7 +524,8 @@ def composite_tiles_pallas(
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
+        functools.partial(_composite_kernel, mxu_bf16=mxu_bf16,
+                          feats_packed=pairs.feats_t.dtype == jnp.bfloat16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 8, PIX), jnp.float32),
         interpret=interpret,
@@ -518,6 +576,7 @@ def _backward_kernel(
     s_ref,              # (256,1) suffix Σ_{j>i} G_j w_j
     *,
     mxu_bf16: bool = False,
+    feats_packed: bool = False,
 ):
     i = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
@@ -548,12 +607,14 @@ def _backward_kernel(
     @pl.when(count > 0)
     def _():
         add, _ = _backward_body(tile, chunk, start, count, tiles_x, chunk_in,
-                                cot, t_ref, s_ref, mxu_bf16=mxu_bf16)
+                                cot, t_ref, s_ref, mxu_bf16=mxu_bf16,
+                                feats_packed=feats_packed)
         grad_ref[:] = grad_ref[:] + add
 
 
 def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
-                   t_ref, s_ref, *, mxu_bf16: bool = False):
+                   t_ref, s_ref, *, mxu_bf16: bool = False,
+                   feats_packed: bool = False):
     ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
     oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
@@ -574,16 +635,16 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     # sub-blocks processed back-to-front (the chunk is depth-ascending)
     for b in reversed(range(CHUNK // SUB)):
         fb = f[:, b * SUB:(b + 1) * SUB]
+        mxr, myr, car, cbr, ccr, opr, rgbd = _unpack_block(fb, feats_packed)
         pair_idx = chunk * CHUNK + b * SUB + lane
         valid = (pair_idx >= start) & (pair_idx < start + count)
 
         # recompute forward quantities for this sub-block
-        dx = fb[0:1, :] - px
-        dy = fb[1:2, :] - py
-        power = (-0.5 * (fb[2:3, :] * dx * dx + fb[4:5, :] * dy * dy)
-                 - fb[3:4, :] * dx * dy)
+        dx = mxr - px
+        dy = myr - py
+        power = -0.5 * (car * dx * dx + ccr * dy * dy) - cbr * dx * dy
         ep = jnp.exp(power)
-        raw = fb[5:6, :] * ep
+        raw = opr * ep
         capped = raw > ALPHA_MAX
         alpha = jnp.minimum(ALPHA_MAX, raw)
         ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
@@ -600,7 +661,6 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
         gate = (t_i >= T_EPS).astype(jnp.float32)
 
         # sensitivity to the blend weight w_i: G = ĝC·c + ĝD·d + ĝA
-        rgbd = fb[6:10, :]                        # (4,SUB)
         g_sens = jax.lax.dot_general(
             cot[0:4, :], rgbd, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32
@@ -625,9 +685,9 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
         eps_ok = jnp.where(ok & jnp.logical_not(capped), ep, 0.0)
 
         # per-pair reductions over pixels
-        dmx = jnp.sum(d_pow * (-(fb[2:3, :] * dxs + fb[3:4, :] * dys)),
+        dmx = jnp.sum(d_pow * (-(car * dxs + cbr * dys)),
                       axis=0, keepdims=True)
-        dmy = jnp.sum(d_pow * (-(fb[4:5, :] * dys + fb[3:4, :] * dxs)),
+        dmy = jnp.sum(d_pow * (-(ccr * dys + cbr * dxs)),
                       axis=0, keepdims=True)
         dca = jnp.sum(d_pow * (-0.5 * dxs * dxs), axis=0, keepdims=True)
         dcb = jnp.sum(d_pow * (-dxs * dys), axis=0, keepdims=True)
@@ -679,7 +739,8 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
                      memory_space=pltpu.VMEM),
     ]
     scratch = [pltpu.VMEM((PIX, 1), jnp.float32), pltpu.VMEM((PIX, 1), jnp.float32)]
-    kernel = functools.partial(_backward_kernel, mxu_bf16=mxu_bf16)
+    kernel = functools.partial(_backward_kernel, mxu_bf16=mxu_bf16,
+                               feats_packed=pairs.feats_t.dtype == jnp.bfloat16)
     out_shape = pairs.feats_t.shape
     out_specs = pl.BlockSpec(
         (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
@@ -727,7 +788,7 @@ def flatten_packed(pks: "list[PackedPairs]", *, num_tiles: int) -> "FlatPairs":
     if C == 1:
         feats = pks[0].feats_t
     else:
-        feats = jnp.zeros((FDIM, C * nbw), jnp.float32)
+        feats = jnp.zeros((FDIM, C * nbw), pks[0].feats_t.dtype)
         for c, pk in enumerate(pks):
             feats = jax.lax.dynamic_update_slice(feats, pk.feats_t, (0, c * nbw))
     starts_g = jnp.concatenate(
@@ -805,7 +866,8 @@ def composite_tiles_flat(flat: FlatPairs, *, tiles_x: int, tiles_y: int,
     # ~+4.4 ms to the kernel at s2 scale (breaks block pipelining). The
     # where() mask is the cheaper way to zero empty tiles.
     out = pl.pallas_call(
-        functools.partial(_composite_kernel, mxu_bf16=mxu_bf16),
+        functools.partial(_composite_kernel, mxu_bf16=mxu_bf16,
+                          feats_packed=flat.feats_t.dtype == jnp.bfloat16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_cams * num_tiles + 1, 8, PIX), jnp.float32),
         interpret=interpret,
@@ -853,7 +915,8 @@ def backward_tiles_flat(flat: FlatPairs, cot_tiles: jnp.ndarray, *,
                         pltpu.VMEM((PIX, 1), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_backward_kernel, mxu_bf16=mxu_bf16),
+        functools.partial(_backward_kernel, mxu_bf16=mxu_bf16,
+                          feats_packed=flat.feats_t.dtype == jnp.bfloat16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(flat.feats_t.shape, jnp.float32),
         interpret=interpret,
@@ -862,13 +925,14 @@ def backward_tiles_flat(flat: FlatPairs, cot_tiles: jnp.ndarray, *,
       jnp.array([tiles_x, num_tiles], jnp.int32), flat.feats_t, cot_tiles)
 
 
-def _pack_and_flatten(projs, *, tiles_x, tiles_y, max_tiles_side, pair_budget):
+def _pack_and_flatten(projs, *, tiles_x, tiles_y, max_tiles_side, pair_budget,
+                      feats_packed=None):
     # UNROLLED camera loop — never vmap pack_pairs (see flatten_packed doc)
     n_cams = projs.means2d.shape[0]
     pks = [pack_pairs(
         jax.tree_util.tree_map(lambda x: x[c], projs),
         tiles_x=tiles_x, tiles_y=tiles_y, max_tiles_side=max_tiles_side,
-        pair_budget=pair_budget) for c in range(n_cams)]
+        pair_budget=pair_budget, feats_packed=feats_packed) for c in range(n_cams)]
     return flatten_packed(pks, num_tiles=tiles_x * tiles_y)
 
 
@@ -884,13 +948,14 @@ def _flat_images(out, bg, *, tiles_x, tiles_y, n_cams, image_height,
 
 
 def _forward_flat(projs, bg, *, image_height, image_width, max_tiles_side,
-                  pair_budget, interpret, mxu_bf16=False):
+                  pair_budget, interpret, mxu_bf16=False, feats_packed=None):
     tiles_x = -(-image_width // TILE)
     tiles_y = -(-image_height // TILE)
     n_cams = projs.means2d.shape[0]
     flat = _pack_and_flatten(projs, tiles_x=tiles_x, tiles_y=tiles_y,
                              max_tiles_side=max_tiles_side,
-                             pair_budget=pair_budget)
+                             pair_budget=pair_budget,
+                             feats_packed=feats_packed)
     out = composite_tiles_flat(flat, tiles_x=tiles_x, tiles_y=tiles_y,
                                n_cams=n_cams, interpret=interpret,
                                mxu_bf16=mxu_bf16)
@@ -901,13 +966,14 @@ def _forward_flat(projs, bg, *, image_height, image_width, max_tiles_side,
 
 
 def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
-             max_tiles_side, pair_budget, interpret, mxu_bf16=False):
+             max_tiles_side, pair_budget, interpret, mxu_bf16=False,
+             feats_packed=None):
     """Single-camera forward (test oracle entry) — C=1 flat path."""
     projs = jax.tree_util.tree_map(lambda x: x[None], proj)
     flat, _, image, depth, alpha = _forward_flat(
         projs, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
-        interpret=interpret, mxu_bf16=mxu_bf16)
+        interpret=interpret, mxu_bf16=mxu_bf16, feats_packed=feats_packed)
     aux = {
         "n_clipped": flat.n_clipped[0],
         "n_overflow": jnp.maximum(flat.n_valid[0] - pair_budget, 0),
@@ -915,24 +981,24 @@ def _forward(proj: ProjectedGaussians, bg, *, image_height, image_width,
     return image[0], depth[0], alpha[0], aux
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _rasterize_flat_core(projs, bg, image_height, image_width,
                          max_tiles_side, pair_budget, interpret,
-                         mxu_bf16=False):
+                         mxu_bf16=False, feats_packed=None):
     flat, _, image, depth, alpha = _forward_flat(
         projs, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
-        interpret=interpret, mxu_bf16=mxu_bf16)
+        interpret=interpret, mxu_bf16=mxu_bf16, feats_packed=feats_packed)
     return (image, depth, alpha, flat.n_clipped,
             jnp.maximum(flat.n_valid - pair_budget, 0))
 
 
 def _flat_fwd(projs, bg, image_height, image_width, max_tiles_side,
-              pair_budget, interpret, mxu_bf16=False):
+              pair_budget, interpret, mxu_bf16=False, feats_packed=None):
     flat, out, image, depth, alpha = _forward_flat(
         projs, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
-        interpret=interpret, mxu_bf16=mxu_bf16)
+        interpret=interpret, mxu_bf16=mxu_bf16, feats_packed=feats_packed)
     t_final = out[:, 5:6, :]                    # (C·T+1,1,256) bwd residual
     n_clipped = flat.n_clipped
     n_overflow = jnp.maximum(flat.n_valid - pair_budget, 0)
@@ -943,7 +1009,7 @@ def _flat_fwd(projs, bg, image_height, image_width, max_tiles_side,
 
 
 def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
-              interpret, mxu_bf16, res, g):
+              interpret, mxu_bf16, feats_packed, res, g):
     """Dedicated Pallas backward over the flattened reversed item list."""
     flat, bg, t_final, alpha_img, n = res
     g_img, g_depth, g_alpha, _, _ = g   # int diagnostics carry float0 cotangents
@@ -1020,13 +1086,14 @@ def rasterize_pallas_batch(
     pair_budget: int = 2_097_152,
     interpret: bool = False,
     mxu_bf16: bool = False,
+    feats_packed: "bool | None" = None,
 ):
     """Camera-batched rasterize over ONE flattened kernel launch (leading
     axis C on every ``projs`` field). Returns batched (image, depth, alpha,
     aux) — the production path for multi-camera training steps."""
     img, depth, alpha, n_clipped, n_overflow = _rasterize_flat_core(
         projs, bg, image_height, image_width, max_tiles_side, pair_budget,
-        interpret, mxu_bf16)
+        interpret, mxu_bf16, feats_packed)
     aux = {"n_clipped": n_clipped, "n_overflow": n_overflow}
     return img, depth, alpha, aux
 
@@ -1041,6 +1108,7 @@ def rasterize_pallas(
     pair_budget: int = 2_097_152,
     interpret: bool = False,
     mxu_bf16: bool = False,
+    feats_packed: "bool | None" = None,
 ):
     """Drop-in for ``ops.tiled.rasterize_tiled`` (same return signature) —
     the C=1 case of the flattened batch path."""
@@ -1048,6 +1116,6 @@ def rasterize_pallas(
     img, depth, alpha, aux = rasterize_pallas_batch(
         projs, image_height=image_height, image_width=image_width, bg=bg,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
-        interpret=interpret, mxu_bf16=mxu_bf16)
+        interpret=interpret, mxu_bf16=mxu_bf16, feats_packed=feats_packed)
     return img[0], depth[0], alpha[0], {
         "n_clipped": aux["n_clipped"][0], "n_overflow": aux["n_overflow"][0]}

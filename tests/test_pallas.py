@@ -209,3 +209,45 @@ class TestPallasBatched:
                 denom = np.abs(b).max() + 1e-8
                 np.testing.assert_allclose(a / denom, b / denom, atol=5e-5,
                                            err_msg=f"cam {c} {name}")
+
+
+class TestPackedFeats:
+    """bf16 hi/lo packed feature table (auto beyond ~190K splats; forced via
+    ``feats_packed=True`` here so interpret-mode sizes stay test-tractable).
+    hi/lo split ≈ 7.6e-6 relative on means/conic/depth; opacity/rgb single
+    bf16 (≤0.4%) — tolerances reflect that."""
+
+    def test_forward_matches_oracle(self, rng):
+        means, scales, rots, opac, shs, cam = _scene(rng)
+        proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        ir, dr, ar = rasterize_reference(proj, image_height=H, image_width=W, bg=bg)
+        ip, dp, ap, aux = _forward(proj, bg, image_height=H, image_width=W,
+                                   max_tiles_side=6, pair_budget=8192,
+                                   interpret=True, feats_packed=True)
+        np.testing.assert_allclose(np.asarray(ip), np.asarray(ir), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dr), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(ar), atol=5e-3)
+        assert int(aux["n_overflow"]) == 0
+
+    def test_gradients_close_to_f32_path(self, rng):
+        means, scales, rots, opac, shs, cam = _scene(rng, n=80)
+        proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
+        bg = jnp.asarray([0.05, 0.1, 0.15])
+
+        def loss(m2, conic, opc, rgb, packed):
+            p = proj.replace(means2d=m2, conic=conic, opacity=opc, rgb=rgb)
+            img, dep, alp, _ = rasterize_pallas(
+                p, image_height=H, image_width=W, bg=bg, max_tiles_side=6,
+                pair_budget=8192, interpret=True, feats_packed=packed)
+            return (img * img).sum() + (dep * 0.05).sum() + (alp * 0.1).sum()
+
+        args = (proj.means2d, proj.conic, proj.opacity, proj.rgb)
+        g32 = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(*args)
+        gbf = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3))(*args)
+        for name, a, b in zip(("means2d", "conic", "opacity", "rgb"), g32, gbf):
+            a = np.asarray(a)
+            b = np.asarray(b)
+            scale = np.abs(a).max() + 1e-6
+            np.testing.assert_allclose(b / scale, a / scale, atol=2e-2,
+                                       err_msg=name)
