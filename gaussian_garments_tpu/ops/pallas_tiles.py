@@ -180,6 +180,22 @@ def _mm(a, b, dims, bf16: bool):
 FEATS_PACK_BYTES = 12_000_000
 
 
+def budget_bucket(max_count: int, *, headroom: float = 1.5,
+                  cap: int = 2_097_152, floor: int = 1 << 15) -> int:
+    """Smallest {2^k, 1.5·2^k} bucket ≥ headroom·max_count, capped.
+
+    Drivers key their compiled steps on this: every pair-space op (binning
+    sort, feature gather, backward segment-sum) costs per STATIC slot
+    (~17.6 ns/row for the segment-sum — width/dtype-free,
+    scripts/profile_segsum2.py), so the half-octave bucket set trims up to
+    33% static overshoot vs pure pow2 at one extra recompile per half
+    octave."""
+    need = max(int(floor), int(np.ceil(max_count * headroom)))
+    k = max(2, (need - 1).bit_length())          # 2^k >= need
+    half = 3 << (k - 2)                          # 1.5 * 2^(k-1)
+    return min(half if half >= need else (1 << k), cap)
+
+
 def _unpack_block(fb, packed: bool):
     """(16,W) feature block slice → named f32 rows
     (mx, my, ca, cb, cc, opacity, rgbd(4,W))."""

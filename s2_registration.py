@@ -146,15 +146,15 @@ def main():
     pair_counter = S2.make_pair_counter(0, cfg)  # jit retraces per capacity
 
     def autosize_budget(n_pairs_max: int) -> int:
-        """pair_budget bucket: next pow2 of a 1.5× headroom over the measured
+        """pair_budget bucket: smallest {2^k, 1.5·2^k} ≥ 1.5× the measured
         per-camera max, floor 32K, capped at the configured budget. Every
         pair-space op (sort, feature gather, backward segment-sum) costs the
         STATIC budget, not the real pair count — at production s2 scale
         (~35K pairs/cam vs n·side²≈286K slots) autosizing cuts the step ~25%
         (MEASUREMENTS.md). Pow2 quantization bounds recompiles."""
-        need = max(int(n_pairs_max) * 3 // 2, 1)
-        bucket = 1 << max(15, int(np.ceil(np.log2(need))))
-        return min(bucket, cfg.pair_budget)
+        from gaussian_garments_tpu.ops.pallas_tiles import budget_bucket
+        return budget_bucket(int(n_pairs_max), headroom=1.5,
+                             cap=cfg.pair_budget)
 
     def probe_pair_budget(state, cams) -> int:
         probe = BatchedCameras.from_cameras(cams, include_images=False)

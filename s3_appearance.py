@@ -155,8 +155,8 @@ def main():
     # pair_budget autosizing: at 512² texels the static 2M default makes every
     # pair-space op (sort, gather, backward segment-sum) ~20× the real pair
     # count. Probe a spread of items with the no-net geometry, 2× headroom
-    # (the net's Δxyz hinge + opacity drift), pow2 bucket, grow-only across
-    # epochs.
+    # (the net's Δxyz hinge + opacity drift), {2^k, 1.5·2^k} bucket, grow-only
+    # across epochs.
     pair_counter = S3.make_s3_pair_counter(raster_cfg=cfg)
 
     def probe_pair_budget() -> int:
@@ -166,8 +166,8 @@ def main():
             it_ = make_item([dataset[(j * len(dataset)) // n]])
             mx = max(mx, int(np.asarray(
                 pair_counter(state, bind, mesh_f, it_)).max()))
-        bucket = 1 << max(15, int(np.ceil(np.log2(mx * 2))))
-        return min(bucket, cfg.pair_budget)
+        from gaussian_garments_tpu.ops.pallas_tiles import budget_bucket
+        return budget_bucket(mx, headroom=2.0, cap=cfg.pair_budget)
 
     def build_step(train_gaussians, step_cfg):
         if dp_mesh is None:

@@ -102,8 +102,8 @@ def _measure():
     cnt = int(np.asarray(jax.jit(lambda v: count_pairs(
         project(v), tiles_x=tiles_x, tiles_y=tiles_y,
         max_tiles_side=cfg0.max_tiles_side))(mesh_v)))
-    budget = min(1 << max(15, int(np.ceil(np.log2(max(cnt * 2, 1))))),
-                 cfg0.pair_budget)
+    from gaussian_garments_tpu.ops.pallas_tiles import budget_bucket
+    budget = budget_bucket(cnt, headroom=2.0, cap=cfg0.pair_budget)
     print(f"pair count {cnt} -> pair_budget {budget}", flush=True)
 
     @jax.jit

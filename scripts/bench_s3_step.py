@@ -99,8 +99,9 @@ def _measure():
     cfg0 = RasterConfig(backend="pallas")
     counts = np.asarray(S3.make_s3_pair_counter(raster_cfg=cfg0)(
         state, bind, mesh_f, item1))
-    budget = min(1 << max(15, int(np.ceil(np.log2(max(int(counts.max()) * 2, 1))))),
-                 cfg0.pair_budget)
+    from gaussian_garments_tpu.ops.pallas_tiles import budget_bucket
+    budget = budget_bucket(int(counts.max()), headroom=2.0,
+                           cap=cfg0.pair_budget)
     print(f"pair counts/item {counts} -> pair_budget {budget}", flush=True)
     cfg = RasterConfig(backend="pallas", pair_budget=budget)
 

@@ -251,3 +251,18 @@ class TestPackedFeats:
             scale = np.abs(a).max() + 1e-6
             np.testing.assert_allclose(b / scale, a / scale, atol=2e-2,
                                        err_msg=name)
+
+
+def test_budget_bucket():
+    from gaussian_garments_tpu.ops.pallas_tiles import budget_bucket
+
+    assert budget_bucket(0) == 1 << 15                       # floor
+    assert budget_bucket(40_000, headroom=1.5) == 65536      # need 60K -> 2^16
+    assert budget_bucket(80_000, headroom=1.5) == 1 << 17    # need 120K -> 2^17
+    assert budget_bucket(60_000, headroom=1.5) == 3 << 15    # need 90K -> 1.5*2^16
+    assert budget_bucket(1_250_000, headroom=1.5) == 2_097_152  # need 1.875M -> 2^21
+    assert budget_bucket(1_250_000, headroom=2.0) == 2_097_152  # capped
+    assert budget_bucket(600_000, headroom=2.0) == 3 << 19   # need 1.2M -> 1.57M
+    for c in (1, 1000, 123456, 999999):
+        b = budget_bucket(c)
+        assert b >= min(int(np.ceil(c * 1.5)), 2_097_152) or b == 2_097_152
