@@ -18,7 +18,7 @@ Reference quirks reproduced verbatim (parity accounting, SURVEY §7):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,8 +41,9 @@ class ViewdirNet(nn.Module):
             w = self.param(f"{name}_w", nn.initializers.kaiming_normal(), (out_c, x.shape[1], 4, 4))
             b = self.param(f"{name}_b", nn.initializers.zeros, (out_c,))
             dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
-            return jax.lax.conv_general_dilated(x, w, (2, 2), ((1, 1), (1, 1)),
-                                                dimension_numbers=dn) + b.reshape(1, -1, 1, 1)
+            return jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=dn) + b.astype(x.dtype).reshape(1, -1, 1, 1)
 
         x = conv(x, 64, "conv0")
         x = jax.nn.leaky_relu(x, 0.2)
@@ -52,6 +53,10 @@ class ViewdirNet(nn.Module):
 class AvatarNet(nn.Module):
     texture_size: int
     sh_degree: int
+    # mixed precision: bf16 activations through the UNet (params are cast at
+    # apply time by the trainer — f32 masters stay in the optimizer); the
+    # output is cast back to f32 before apply_shadow
+    act_dtype: Any = jnp.float32
 
     def setup(self):
         # constructed-but-unused Fourier embedder (reference avatar_net.py:15)
@@ -93,12 +98,14 @@ class AvatarNet(nn.Module):
         uu_flat = bind.gs_u.astype(jnp.int32) * res + bind.gs_u.astype(jnp.int32)
         vd_flat = jnp.zeros((res * res, 3)).at[uu_flat].set(local_viewdir)
         viewdir_map = vd_flat.reshape(res, res, 3).transpose(2, 0, 1)
-        view_feature = self.viewdir_net(viewdir_map[None])
+        view_feature = self.viewdir_net(viewdir_map[None].astype(self.act_dtype))
 
-        style = jnp.ones((1, self.texture_size)) / jnp.sqrt(float(self.texture_size))
-        combined = jnp.concatenate([ambient, nc], axis=0)[None]   # (1,4,res,res)
+        style = jnp.ones((1, self.texture_size), self.act_dtype) / jnp.sqrt(
+            float(self.texture_size))
+        combined = jnp.concatenate(
+            [ambient, nc], axis=0)[None].astype(self.act_dtype)  # (1,4,res,res)
         out = self.shadow_net(style, combined, view_feature=view_feature)
-        return out[0]                                             # (C_out,res,res)
+        return out[0].astype(jnp.float32)                        # (C_out,res,res)
 
 
 def apply_shadow(bind: AG.AvatarBinding, params: G.GaussianParams,

@@ -58,7 +58,7 @@ def upfirdn2d(x: jnp.ndarray, kernel: np.ndarray, up: int = 1, down: int = 1,
     c = x.shape[1]
     kh, kw = kernel.shape
     # flipped kernel (the reference correlates with flip(kernel))
-    kflip = jnp.asarray(kernel[::-1, ::-1].copy())
+    kflip = jnp.asarray(kernel[::-1, ::-1].copy(), dtype=x.dtype)
     w = jnp.tile(kflip[None, None], (c, 1, 1, 1))  # (C,1,kh,kw) depthwise
 
     # zero-insert upsample leaves up-1 fewer trailing zeros than the torch
@@ -132,7 +132,7 @@ class EqualConv2d(nn.Module):
         scale = 1.0 / math.sqrt(in_c * self.kernel_size**2)
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
         out = jax.lax.conv_general_dilated(
-            x, w * scale, (self.stride, self.stride),
+            x, (w * scale).astype(x.dtype), (self.stride, self.stride),
             ((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=dn,
         )
@@ -185,8 +185,10 @@ class ModulatedConv2d(nn.Module):
             wmod = (scale * weight)[None] * s[:, None, :, None, None]   # (B,out,in,k,k)
             dcoef = jax.lax.rsqrt(jnp.sum(wmod**2, axis=(2, 3, 4)) + 1e-8)  # (B,out)
 
-        x = x * s[:, :, None, None]
-        wk = weight * scale
+        x = x * s[:, :, None, None].astype(x.dtype)
+        # weights follow the activation dtype (f32 master params; enables
+        # bf16-activation runs where the MXU runs at double rate)
+        wk = (weight * scale).astype(x.dtype)
         dn = jax.lax.conv_dimension_numbers(x.shape, wk.shape, ("NCHW", "OIHW", "NCHW"))
 
         if self.upsample:

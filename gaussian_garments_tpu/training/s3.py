@@ -146,6 +146,8 @@ def _s3_forward_batch(net, net_vars, splats, bind, mesh_f, item: "S3Item", *,
     Returns (rendered (B,3,H,W), local_xyz (B,N,3))."""
     from gaussian_garments_tpu.renderer import _resolve_backend
 
+    net_vars = _cast_net_vars(net, net_vars)
+
     def per_item(mesh_v, ambient, normal, wv, fp, cp, tfx, tfy):
         row = {
             "mesh_v": mesh_v, "ambient": ambient, "normal": normal,
@@ -178,6 +180,16 @@ def _s3_forward_batch(net, net_vars, splats, bind, mesh_f, item: "S3Item", *,
     rendered = image + item.bg[:, :, None, None] * (1.0 - alpha.reshape(
         image.shape[0], 1, item.height, item.width))
     return rendered, local_xyz
+
+
+def _cast_net_vars(net, net_vars):
+    """bf16-activation mode: cast params/buffers at apply time (f32 masters
+    stay in the optimizer; the cast's VJP returns f32 grads)."""
+    if net.act_dtype == jnp.float32:
+        return net_vars
+    return jax.tree.map(
+        lambda a: a.astype(net.act_dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, net_vars)
 
 
 def _s3_losses(net, net_params, net_buffers, splats, bind, mesh_f, item: S3Item,

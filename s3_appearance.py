@@ -70,6 +70,10 @@ def main():
     parser.add_argument("--blur_mask", action="store_true")
     parser.add_argument("--llffhold", type=int, default=12)
     parser.add_argument("--items_per_step", type=int, default=1)
+    parser.add_argument("--unet_bf16", action="store_true",
+                        help="bf16 UNet activations (f32 master params; "
+                             "~5%% faster step — validate with the eval-"
+                             "split PSNR before production use)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the item batch over the device mesh "
                              "(items_per_step must be a device-count multiple)")
@@ -112,7 +116,8 @@ def main():
         str(tmpl_pc / "point_cloud.ply"), str(tmpl_pc / "local_point_cloud.ply"),
         args.sh_degree)
 
-    net = AvatarNet(texture_size=args.texture_size, sh_degree=args.sh_degree)
+    net = AvatarNet(texture_size=args.texture_size, sh_degree=args.sh_degree,
+                    act_dtype=jnp.bfloat16 if args.unet_bf16 else jnp.float32)
 
     def make_item(batch):
         cams = [b["camera"] for b in batch]

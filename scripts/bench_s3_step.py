@@ -85,7 +85,9 @@ def _measure():
             width=W, height=H,
         )
 
-    net = AvatarNet(texture_size=res, sh_degree=3)
+    import jax.numpy as _jnp
+    act = _jnp.bfloat16 if "--bf16" in sys.argv else _jnp.float32
+    net = AvatarNet(texture_size=res, sh_degree=3, act_dtype=act)
     item1 = make_item(1)
     state = S3.init_state(net, bind, splats, verts, faces, item1)
     n_params = sum(int(np.prod(x.shape)) for x in

@@ -245,3 +245,27 @@ class TestS3Step:
         for k in G.PARAM_NAMES:
             np.testing.assert_array_equal(np.asarray(getattr(state.splats, k)),
                                           np.asarray(getattr(p0, k)))
+
+
+class TestUNetBf16:
+    def test_bf16_step_finite_and_close(self, scene, binding, rng):
+        """bf16-activation mode (--unet_bf16): finite losses, close to the
+        f32 step on the first iteration (activation rounding only — the
+        apply-time cast keeps f32 master params in the optimizer)."""
+        net32, state, item, f32 = _build_state(scene, binding, rng)
+        netbf = AvatarNet(texture_size=RES, sh_degree=1,
+                          act_dtype=jnp.bfloat16)
+        parser = ArgumentParser()
+        opt = OptimizationParams(parser).extract(parser.parse_args([]))
+        args = Namespace(**{**vars(opt), "lr_init": 5e-4})
+        cfg = RasterConfig(tile_capacity=128, chunk_tiles=16)
+        s32 = S3.make_s3_step(net32, args, sh_degree=1, raster_cfg=cfg,
+                              vis_raster_hw=(64, 64))
+        sbf = S3.make_s3_step(netbf, args, sh_degree=1, raster_cfg=cfg,
+                              vis_raster_hw=(64, 64))
+        _, ld32 = s32(state, binding[0], f32, item)
+        _, ldbf = sbf(state, binding[0], f32, item)
+        for k in ld32:
+            a, b = float(ld32[k]), float(ldbf[k])
+            assert np.isfinite(b), k
+            assert abs(a - b) <= 0.05 * max(abs(a), 0.02), (k, a, b)
