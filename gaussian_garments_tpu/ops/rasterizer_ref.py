@@ -73,12 +73,20 @@ def rasterize_reference(
     image_height: int,
     image_width: int,
     bg: jnp.ndarray,
+    pixel_chunk: "int | None" = None,
 ):
     """Render the full image with the exact per-pixel compositor.
 
     Returns (image (3,H,W), depth (1,H,W), alpha (1,H,W)) matching the CUDA
     rasterizer's output tensors (``gaussian_renderer/__init__.py:103-111``).
+
+    ``pixel_chunk``: sequentially composite that many pixels at a time
+    (lax.map) — bounds the O(K·P) intermediate to O(K·chunk) so the oracle
+    fits device memory at harness sizes (512²·20K splats is a 20 GB (K,P)
+    buffer unchunked).
     """
+    import jax
+
     order = jnp.argsort(proj.depth)
     means2d = proj.means2d[order]
     conic = proj.conic[order]
@@ -92,6 +100,19 @@ def rasterize_reference(
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     pix = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (H*W, 2)
 
-    color, d, a = composite_pixels(pix, means2d, conic, rgb, opacity, depth, valid, bg)
+    if pixel_chunk is None:
+        color, d, a = composite_pixels(pix, means2d, conic, rgb, opacity,
+                                       depth, valid, bg)
+    else:
+        hw = pix.shape[0]
+        pad = (-hw) % pixel_chunk
+        pix_p = jnp.pad(pix, ((0, pad), (0, 0)))
+        chunks = pix_p.reshape(-1, pixel_chunk, 2)
+        color, d, a = jax.lax.map(
+            lambda px: composite_pixels(px, means2d, conic, rgb, opacity,
+                                        depth, valid, bg), chunks)
+        color = color.reshape(-1, 3)[:hw]
+        d = d.reshape(-1)[:hw]
+        a = a.reshape(-1)[:hw]
     image = color.reshape(image_height, image_width, 3).transpose(2, 0, 1)
     return image, d.reshape(1, image_height, image_width), a.reshape(1, image_height, image_width)

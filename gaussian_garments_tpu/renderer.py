@@ -59,6 +59,9 @@ class RasterConfig:
     # rate, ≤0.4% relative error on blend weights/gradients — quality-gated
     # via the PSNR harness before enabling in production (MEASUREMENTS.md)
     mxu_bf16: bool = struct.field(pytree_node=False, default=False)
+    # reference backend only: composite this many pixels at a time so the
+    # O(K·P) oracle buffer fits device memory at harness sizes
+    ref_pixel_chunk: Optional[int] = struct.field(pytree_node=False, default=None)
 
 
 def _resolve_backend(config: RasterConfig) -> str:
@@ -75,7 +78,8 @@ def _rasterize(proj, *, image_height, image_width, bg, config: RasterConfig):
     backend = _resolve_backend(config)
     if backend == "reference":
         image, depth, alpha = rasterize_reference(
-            proj, image_height=image_height, image_width=image_width, bg=bg)
+            proj, image_height=image_height, image_width=image_width, bg=bg,
+            pixel_chunk=config.ref_pixel_chunk)
         import jax.numpy as jnp_
         aux = {"n_clipped": jnp_.zeros((), jnp_.int32), "n_overflow": jnp_.zeros((), jnp_.int32)}
         return image, depth, alpha, aux

@@ -60,9 +60,32 @@ def _measure():
     img_p2 = jax.jit(lambda b: render(
         cam2, b, bg, config=RasterConfig(backend="pallas"))["render"])(b2)
     img_r2 = jax.jit(lambda b: render(
-        cam2, b, bg, config=RasterConfig(backend="reference"))["render"])(b2)
+        cam2, b, bg, config=RasterConfig(backend="reference",
+                                         ref_pixel_chunk=4096))["render"])(b2)
     m2 = image_metrics(img_p2, jnp.clip(img_r2, 0, 1))
     out["psnr_512_vs_exact"] = round(m2["psnr"], 2)
+
+    # --- 1080p / 250K: the bf16 hi/lo packed feature table auto-enables
+    # beyond ~190K splats — image-level PSNR vs the same scene through the
+    # f32 table (feats_packed forced off) ---
+    from gaussian_garments_tpu.ops.projection import project_gaussians
+    from gaussian_garments_tpu.ops.pallas_tiles import rasterize_pallas
+
+    means, scales, rots, opac, shs = build_garment_splats(250_000, rng)
+    proj = jax.jit(lambda: project_gaussians(
+        jnp.asarray(means), cam.world_view_transform, cam.full_proj_transform,
+        cam.camera_center, image_width=W, image_height=H,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, scales=jnp.asarray(scales),
+        rotations=jnp.asarray(rots), shs=jnp.asarray(shs),
+        opacities=jnp.asarray(opac).reshape(-1), sh_degree=0))()
+
+    def rr(packed):
+        img, _, _, _ = rasterize_pallas(
+            proj, image_height=H, image_width=W, bg=bg,
+            pair_budget=1 << 22, feats_packed=packed)
+        return jnp.clip(img, 0, 1)
+    m3 = image_metrics(jax.jit(lambda: rr(True))(), jax.jit(lambda: rr(False))())
+    out["psnr_250k_packed_vs_f32"] = round(m3["psnr"], 2)
 
     print("GG_QUALITY " + json.dumps(out), flush=True)
 
