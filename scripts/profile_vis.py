@@ -75,6 +75,40 @@ def main():
     print("PROFILE_DONE", flush=True)
 
 
+def chunks_ab():
+    import jax
+    import jax.numpy as jnp
+    from gaussian_garments_tpu.data import synthetic as syn
+    from gaussian_garments_tpu.models import avatar_gaussian as AG
+    from gaussian_garments_tpu.ops.mesh_raster import rasterize_mesh
+
+    res = 512
+    W, H = 940, 1280
+    cams, verts, faces, uvs, colors = syn.make_scene(
+        n_cams=2, nx=48, ny=48, width=W, height=H)
+    bind, _ = AG.build_binding(uvs, faces, res)
+    c = cams[0]
+    v = jnp.asarray(verts)
+    f = jnp.asarray(faces.astype(np.int32))
+    for ct in (32, 64, 128, 256):
+        fn = jax.jit(lambda vv, ct=ct: rasterize_mesh(
+            vv, f, c.world_view_transform, c.full_proj_transform,
+            image_width=256, image_height=256, chunk_tiles=ct)[1].sum())
+        print(f"  rasterize_mesh_256 chunk_tiles={ct:3d}  {_timeit(fn, v):7.2f} ms",
+              flush=True)
+    for tc in (32, 64):
+        fn = jax.jit(lambda vv, tc=tc: rasterize_mesh(
+            vv, f, c.world_view_transform, c.full_proj_transform,
+            image_width=256, image_height=256, tile_capacity=tc,
+            chunk_tiles=256)[1].sum())
+        print(f"  rasterize_mesh_256 cap={tc} ct=256    {_timeit(fn, v):7.2f} ms",
+              flush=True)
+    print("PROFILE_DONE2", flush=True)
+
+
 if __name__ == "__main__":
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-    main()
+    if "--chunks" in sys.argv:
+        chunks_ab()
+    else:
+        main()
