@@ -53,6 +53,11 @@ class S3Item:
     campos: jnp.ndarray         # (B,3)
     tanfovx: jnp.ndarray        # (B,)
     tanfovy: jnp.ndarray        # (B,)
+    # optional precomputed per-texel visibility (B,G) — a constant of the
+    # (frame, camera) item; the driver caches it across epochs (the
+    # reference's dataloader computes it per item load too,
+    # avatar_gaussian_model.py:227-263). None = compute in-step.
+    vis: Optional[jnp.ndarray] = None
     width: int = struct.field(pytree_node=False, default=0)
     height: int = struct.field(pytree_node=False, default=0)
 
@@ -122,9 +127,12 @@ def _s3_project(net, net_vars, splats, bind, mesh_f, item_row, *,
     rotations = MG.world_rotation(splats, bind.binding, frames, rows=rows)
     opacity = G.get_opacity(splats).reshape(-1)
 
-    vis = AG.get_visible_mask_depth(
-        bind, mesh_v, mesh_f, item_row["world_view"], item_row["full_proj"],
-        image_width=vis_raster_hw[1], image_height=vis_raster_hw[0], rows=rows)
+    vis = item_row.get("vis")
+    if vis is None:
+        vis = AG.get_visible_mask_depth(
+            bind, mesh_v, mesh_f, item_row["world_view"], item_row["full_proj"],
+            image_width=vis_raster_hw[1], image_height=vis_raster_hw[0],
+            rows=rows)
     opacity = opacity * vis.astype(opacity.dtype)
 
     proj = project_gaussians(
@@ -148,20 +156,23 @@ def _s3_forward_batch(net, net_vars, splats, bind, mesh_f, item: "S3Item", *,
 
     net_vars = _cast_net_vars(net, net_vars)
 
-    def per_item(mesh_v, ambient, normal, wv, fp, cp, tfx, tfy):
+    def per_item(mesh_v, ambient, normal, wv, fp, cp, tfx, tfy, vis=None):
         row = {
             "mesh_v": mesh_v, "ambient": ambient, "normal": normal,
             "world_view": wv, "full_proj": fp, "campos": cp,
-            "tanfovx": tfx, "tanfovy": tfy,
+            "tanfovx": tfx, "tanfovy": tfy, "vis": vis,
             "width": item.width, "height": item.height,
         }
         return _s3_project(net, net_vars, splats, bind, mesh_f, row,
                            sh_degree=sh_degree, raster_cfg=raster_cfg,
                            vis_raster_hw=vis_raster_hw)
 
-    projs, local_xyz = jax.vmap(per_item)(
-        item.mesh_v, item.ambient, item.normal, item.world_view,
-        item.full_proj, item.campos, item.tanfovx, item.tanfovy)
+    vm_args = (item.mesh_v, item.ambient, item.normal, item.world_view,
+               item.full_proj, item.campos, item.tanfovx, item.tanfovy)
+    if item.vis is not None:
+        projs, local_xyz = jax.vmap(per_item)(*vm_args, item.vis)
+    else:
+        projs, local_xyz = jax.vmap(per_item)(*vm_args)
 
     bg0 = jnp.zeros(3)
     if _resolve_backend(raster_cfg) == "pallas":
@@ -229,7 +240,7 @@ def make_s3_pair_counter(*, raster_cfg: RasterConfig = RasterConfig(),
         tiles_x = -(-item.width // TILE)
         tiles_y = -(-item.height // TILE)
 
-        def per_item(mesh_v, wv, fp, cp, tfx, tfy):
+        def per_item(mesh_v, wv, fp, cp, tfx, tfy, vis=None):
             frames = MG.compute_face_frames(mesh_v, mesh_f)
             rows = MG.gather_frame_rows(frames, bind.binding, mesh_v, mesh_f)
             anchor = AG.barycentric_3d(bind, mesh_v, mesh_f, rows=rows)
@@ -237,10 +248,11 @@ def make_s3_pair_counter(*, raster_cfg: RasterConfig = RasterConfig(),
             scales = MG.world_scaling(splats, bind.binding, frames, rows=rows)
             rotations = MG.world_rotation(splats, bind.binding, frames, rows=rows)
             opacity = G.get_opacity(splats).reshape(-1)
-            vis = AG.get_visible_mask_depth(
-                bind, mesh_v, mesh_f, wv, fp,
-                image_width=vis_raster_hw[1], image_height=vis_raster_hw[0],
-                rows=rows)
+            if vis is None:
+                vis = AG.get_visible_mask_depth(
+                    bind, mesh_v, mesh_f, wv, fp,
+                    image_width=vis_raster_hw[1], image_height=vis_raster_hw[0],
+                    rows=rows)
             opacity = opacity * vis.astype(opacity.dtype)
             proj = project_gaussians(
                 means3d, wv, fp, cp,
@@ -251,9 +263,11 @@ def make_s3_pair_counter(*, raster_cfg: RasterConfig = RasterConfig(),
             return count_pairs(proj, tiles_x=tiles_x, tiles_y=tiles_y,
                                max_tiles_side=raster_cfg.max_tiles_side)
 
-        return jax.vmap(per_item)(item.mesh_v, item.world_view,
-                                  item.full_proj, item.campos,
-                                  item.tanfovx, item.tanfovy)
+        args_ = (item.mesh_v, item.world_view, item.full_proj, item.campos,
+                 item.tanfovx, item.tanfovy)
+        if item.vis is not None:
+            return jax.vmap(per_item)(*args_, item.vis)
+        return jax.vmap(per_item)(*args_)
 
     return count
 

@@ -119,9 +119,29 @@ def main():
     net = AvatarNet(texture_size=args.texture_size, sh_degree=args.sh_degree,
                     act_dtype=jnp.bfloat16 if args.unet_bf16 else jnp.float32)
 
+    # per-item visibility cache: vis is a constant of the (seq, frame, cam)
+    # item (the reference's dataloader ray-casts it per item load,
+    # avatar_gaussian_model.py:227-263); computing it in-step costs ~12 ms
+    # per item-iteration at 512². Stored packbits'd (32 KB/item).
+    vis_cache = {}
+    vis_fn = jax.jit(lambda mv, wv, fp: AG.get_visible_mask_depth(
+        bind, mv, mesh_f, wv, fp, image_width=256, image_height=256))
+
+    def item_vis(b) -> np.ndarray:
+        c = b["camera"]
+        key = (b["current_seq"], b["current_frame"], c.image_name)
+        if key not in vis_cache:
+            v = np.asarray(vis_fn(jnp.asarray(b["mesh_v"]),
+                                  c.world_view_transform,
+                                  c.full_proj_transform))
+            vis_cache[key] = np.packbits(v)
+        n = bind.binding.shape[0]
+        return np.unpackbits(vis_cache[key], count=n).astype(np.float32)
+
     def make_item(batch):
         cams = [b["camera"] for b in batch]
         return S3.S3Item(
+            vis=jnp.stack([jnp.asarray(item_vis(b)) for b in batch]),
             image=jnp.stack([c.original_image for c in cams]),
             mask=jnp.stack([c.gt_alpha_mask for c in cams]),
             bg=jnp.stack([jnp.asarray(b["bg"]) for b in batch]),

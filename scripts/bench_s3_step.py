@@ -68,9 +68,20 @@ def _measure():
         opacity=jnp.full((n, 1), 2.0),
     )
     amb, nrm = bake_textures(bind, verts, faces, n_samples=8)
+    mesh_f = jnp.asarray(faces.astype(np.int32))
+
+    import jax as _jax
+    from gaussian_garments_tpu.models import avatar_gaussian as _AG
+    vis_fn = _jax.jit(lambda mv, wv, fp: _AG.get_visible_mask_depth(
+        bind, mv, mesh_f, wv, fp, image_width=256, image_height=256))
 
     def make_item(B):
+        # cached per-item visibility, like the production driver
+        vis = jnp.stack([vis_fn(jnp.asarray(verts), c.world_view_transform,
+                                c.full_proj_transform).astype(jnp.float32)
+                         for c in cams[:B]])
         return S3.S3Item(
+            vis=vis,
             image=jnp.stack([c.original_image for c in cams[:B]]),
             mask=jnp.stack([c.gt_alpha_mask for c in cams[:B]]),
             bg=jnp.zeros((B, 3)),
@@ -93,8 +104,6 @@ def _measure():
     n_params = sum(int(np.prod(x.shape)) for x in
                    __import__("jax").tree_util.tree_leaves(state.net_params))
     print(f"net params: {n_params/1e6:.1f}M", flush=True)
-
-    mesh_f = jnp.asarray(faces.astype(np.int32))
 
     # autosized pair budget (same policy as the s3 driver: probe, 2× headroom,
     # pow2 bucket)
