@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--width", type=int, default=940)
     parser.add_argument("--height", type=int, default=1280)
     parser.add_argument("--hq", action="store_true", help="3004x4092 output")
+    parser.add_argument("--exact_visibility", action="store_true",
+                        help="per-splat first-hit ray cast for joint "
+                             "visibility (reference-exact, O(splats*faces)); "
+                             "default is the depth-buffer formulation")
     parser.add_argument("--white_background", action="store_true")
     args = parser.parse_args(sys.argv[1:])
 
@@ -46,7 +50,8 @@ def main():
         args.width, args.height = 3004, 4092
 
     simu = Simulation(args.traj_path, args.output_path,
-                      sh_degree=args.sh_degree, texture_size=args.texture_size)
+                      sh_degree=args.sh_degree, texture_size=args.texture_size,
+                      exact_visibility=args.exact_visibility)
 
     cam_json = Path(DEFAULTS.output_root) / simu.garment_names[0] / DEFAULTS.stage1 / "cameras.json"
     cam_params = json.load(open(cam_json))

@@ -83,6 +83,7 @@ def _measure():
     cfg0 = RasterConfig(backend="pallas")
 
     def project(mesh_v):
+        from gaussian_garments_tpu.models import avatar_gaussian as AGm
         frames = MG.compute_face_frames(mesh_v, mesh_f)
         shadow_tex = net.apply(net_vars, amb_j, nrm_j, c.world_view_transform,
                                c.camera_center, bind, mesh_v, mesh_f, frames)
@@ -95,8 +96,16 @@ def _measure():
             image_width=W, image_height=H, tanfovx=c.tanfovx, tanfovy=c.tanfovy,
             scales=MG.world_scaling(splats, bind.binding, frames),
             rotations=MG.world_rotation(splats, bind.binding, frames),
-            shs=shs, opacities=G.get_opacity(splats).reshape(-1),
+            shs=shs, opacities=G.get_opacity(splats).reshape(-1) * vis(mesh_v),
             sh_degree=sh_degree)
+
+    def vis(mesh_v):
+        # depth-buffer joint visibility, as Simulation.forward runs per frame
+        from gaussian_garments_tpu.models import avatar_gaussian as AGm
+        return AGm.get_visible_mask_depth(
+            bind, mesh_v, mesh_f, c.world_view_transform,
+            c.full_proj_transform, image_width=256,
+            image_height=256).astype(jnp.float32)
 
     mesh_v = jnp.asarray(verts)
     cnt = int(np.asarray(jax.jit(lambda v: count_pairs(
