@@ -86,6 +86,11 @@ def bake_textures(
     gs_v = np.asarray(bind.gs_v)
     binding = np.asarray(bind.binding)
     bc = np.asarray(bind.gs_bc)
+    if bind.alive is not None:
+        # dense layout: bake (and ray-cast AO for) alive texels only, so the
+        # textures match the compact layout's bit-for-bit
+        a = np.asarray(bind.alive)
+        gs_u, gs_v, binding, bc = gs_u[a], gs_v[a], binding[a], bc[a]
 
     # --- anchors + smooth normals ---
     vn = vertex_normals(mesh_v, mesh_f)

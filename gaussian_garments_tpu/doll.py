@@ -42,18 +42,21 @@ class Garment(NamedTuple):
     sh_degree: int
 
 
-def load_garment(name: str, *, sh_degree: int = 3, texture_size: int = 512) -> Garment:
+def load_garment(name: str, *, sh_degree: int = 3, texture_size: int = 512,
+                 dense_texels: bool = False) -> Garment:
     """AvatarSimulationModel + AvatarNet.load_ckpt (inference.py:238-246)."""
     from gaussian_garments_tpu.models.avatar_net import AvatarNet
     from gaussian_garments_tpu.training.checkpoints import load_s3_ckpt
 
     root = Path(DEFAULTS.output_root) / name
     template = read_obj(root / DEFAULTS.stage1 / "template_uv.obj")
-    bind, _ = AG.build_binding(template["uvs"], template["texture_faces"], texture_size)
+    bind, _ = AG.build_binding(template["uvs"], template["texture_faces"], texture_size,
+                               dense=dense_texels)
 
     net = AvatarNet(texture_size=texture_size, sh_degree=sh_degree)
     ckpt = load_s3_ckpt(root / DEFAULTS.stage3)
     splats = ckpt.get("splats") or AG.init_empty(bind, sh_degree)
+    splats = AG.adapt_params_layout(bind, splats)  # cross-layout checkpoints
     return Garment(name=name, template=template, bind=bind, splats=splats,
                    net=net, net_vars={"params": ckpt["net_params"],
                                       "buffers": ckpt.get("net_buffers", {})},
@@ -75,12 +78,15 @@ def update_garment(g: Garment, verts: np.ndarray, ambient: jnp.ndarray,
     local_xyz, shs = apply_shadow(g.bind, g.splats, shadow_tex, g.sh_degree)
     anchor = AG.barycentric_3d(g.bind, v, f, rows=rows)
     style_rows = AG.gather_texture(g.bind, shadow_tex)[:, 3:]
+    opacity = G.get_opacity(g.splats)
+    if g.bind.alive is not None:  # dense layout: dead texels never render
+        opacity = opacity * g.bind.alive[:, None].astype(opacity.dtype)
     return {
         "xyz": AG.avatar_world_xyz(local_xyz, g.bind, frames, anchor, rows=rows),
         "anchor": anchor,
         "rotation": MG.world_rotation(g.splats, g.bind.binding, frames, rows=rows),
         "scaling": MG.world_scaling(g.splats, g.bind.binding, frames, rows=rows),
-        "opacity": G.get_opacity(g.splats),
+        "opacity": opacity,
         "shs": shs,
         "raw_shs": G.get_features(g.splats),
         "style": style_rows.reshape(style_rows.shape[0], -1, 3),
@@ -203,7 +209,8 @@ class Simulation:
     of README.md:120-132."""
 
     def __init__(self, traj_path: str, output_path: str, *, sh_degree: int = 3,
-                 texture_size: int = 512, exact_visibility: bool = False):
+                 texture_size: int = 512, exact_visibility: bool = False,
+                 dense_texels: bool = False):
         # exact_visibility: per-splat first-hit ray cast (reference parity,
         # O(splats·faces)); default is the depth-buffer formulation
         # (O(splats), validated at 0.95 agreement in s3)
@@ -211,7 +218,8 @@ class Simulation:
         with open(traj_path, "rb") as f:
             self.pkl = pickle.load(f)
         self.garment_names = self.pkl["garment_names"]
-        self.garments = [load_garment(n, sh_degree=sh_degree, texture_size=texture_size)
+        self.garments = [load_garment(n, sh_degree=sh_degree, texture_size=texture_size,
+                                      dense_texels=dense_texels)
                          for n in self.garment_names]
         self.output = Path(output_path)
         os.makedirs(self.output, exist_ok=True)

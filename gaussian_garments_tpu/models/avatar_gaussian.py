@@ -74,36 +74,63 @@ def rasterize_uv_bind_map(uvs: np.ndarray, texture_faces: np.ndarray, res: int) 
 
 @struct.dataclass
 class AvatarBinding:
-    """Static texel→face binding (host precompute, pytree of jnp constants)."""
+    """Static texel→face binding (host precompute, pytree of jnp constants).
+
+    Two layouts share this container:
+
+    - **compact** (reference semantics): G = number of texels inside a UV
+      island; ``alive is None``.
+    - **dense** (TPU fast path, ``build_binding(dense=True)``): G = res² in
+      row-major texel order, so ``gather_texture``/``scatter_texture`` are
+      reshapes instead of (res²,·)-row gathers (the (res²,51) f32 gather +
+      its VJP scatter cost ~8.5 ms each at 512² — MEASUREMENTS.md "gather
+      cliff"). Dead texels carry a clamped face-0 binding and are masked out
+      of rendering (opacity · alive) and of the loss reductions.
+    """
 
     binding: jnp.ndarray      # (G,) int32 face ids
     gs_bc: jnp.ndarray        # (G,3) barycentric coords of the texel center
     flat_idx: jnp.ndarray     # (G,) int32 = gs_u*res + gs_v (row-major texel)
     gs_u: jnp.ndarray         # (G,) int32 row (v) index
     gs_v: jnp.ndarray         # (G,) int32 col (u) index
+    alive: Optional[jnp.ndarray] = None  # (G,) bool — dense layout only
     texture_size: int = struct.field(pytree_node=False, default=512)
+    dense: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_binding(uvs: np.ndarray, texture_faces: np.ndarray, res: int,
-                  bind_map: Optional[np.ndarray] = None) -> Tuple[AvatarBinding, np.ndarray]:
+                  bind_map: Optional[np.ndarray] = None,
+                  dense: bool = False) -> Tuple[AvatarBinding, np.ndarray]:
     """Bind map + barycentric anchors (reference __init__ :47-65)."""
     if bind_map is None:
         bind_map = rasterize_uv_bind_map(uvs, texture_faces, res)
     mask = bind_map > -1
-    gs_u, gs_v = np.where(mask)
-    binding = bind_map[mask]
+    if dense:
+        idx = np.arange(res * res)
+        gs_u, gs_v = idx // res, idx % res
+        alive = mask.reshape(-1)
+        binding = np.where(alive, bind_map.reshape(-1), 0)
+    else:
+        gs_u, gs_v = np.where(mask)
+        binding = bind_map[mask]
+        alive = None
     uv_tri = np.asarray(uvs)[np.asarray(texture_faces)][binding] * res   # (G,3,2)
     uv_gs = np.stack([gs_v, gs_u], axis=1) + 0.5
     a, b, c = geo.barycentric_2d(jnp.asarray(uv_tri.astype(np.float32)),
                                  jnp.asarray(uv_gs.astype(np.float32)))
     bc = np.stack([np.asarray(a), np.asarray(b), np.asarray(c)], axis=1)
+    if dense:
+        # dead texels: anchor at v0 of the clamped face (finite, render-masked)
+        bc = np.where(alive[:, None], bc, np.array([1.0, 0.0, 0.0]))
     bind = AvatarBinding(
         binding=jnp.asarray(binding.astype(np.int32)),
         gs_bc=jnp.asarray(bc.astype(np.float32)),
         flat_idx=jnp.asarray((gs_u * res + gs_v).astype(np.int32)),
         gs_u=jnp.asarray(gs_u.astype(np.int32)),
         gs_v=jnp.asarray(gs_v.astype(np.int32)),
+        alive=None if alive is None else jnp.asarray(alive),
         texture_size=res,
+        dense=dense,
     )
     return bind, bind_map
 
@@ -153,15 +180,20 @@ def local_offset(bind: AvatarBinding, frames: MG.FaceFrames, gs_3d: jnp.ndarray,
 def scatter_texture(bind: AvatarBinding, values: jnp.ndarray, channels: int) -> jnp.ndarray:
     """(G,C) texel values → (C,res,res) texture (zeros elsewhere)."""
     res = bind.texture_size
-    flat = jnp.zeros((res * res, channels), values.dtype).at[bind.flat_idx].set(values)
+    if bind.dense:
+        flat = values * bind.alive[:, None].astype(values.dtype)
+    else:
+        flat = jnp.zeros((res * res, channels), values.dtype).at[bind.flat_idx].set(values)
     return flat.reshape(res, res, channels).transpose(2, 0, 1)
 
 
 def gather_texture(bind: AvatarBinding, texture: jnp.ndarray) -> jnp.ndarray:
     """(C,res,res) texture → (G,C) per-texel rows (reference
-    ``shadow_out[self.gaussian_mask]``)."""
+    ``shadow_out[self.gaussian_mask]``). Dense layout: a reshape (no gather)."""
     res = bind.texture_size
     flat = texture.transpose(1, 2, 0).reshape(res * res, -1)
+    if bind.dense:
+        return flat
     return flat[bind.flat_idx]
 
 
@@ -223,6 +255,39 @@ def init_from_template(
     return params, aux
 
 
+def densify_params(bind: AvatarBinding, params: G.GaussianParams) -> G.GaussianParams:
+    """Compact-layout (G_alive,·) params → dense res² rows (host one-time).
+    Dead rows are zeros except rotation = identity (NaN-free quat math)."""
+    assert bind.dense, "densify_params needs a dense binding"
+    res = bind.texture_size
+    alive = np.asarray(bind.alive)
+    out = {}
+    for name in G.PARAM_NAMES:
+        val = np.asarray(getattr(params, name))
+        full = np.zeros((res * res, *val.shape[1:]), val.dtype)
+        full[alive] = val
+        out[name] = jnp.asarray(full)
+    p = G.GaussianParams(**out)
+    unit = jnp.array([1.0, 0.0, 0.0, 0.0], p.rotation.dtype)
+    return p.replace(rotation=jnp.where(bind.alive[:, None], p.rotation, unit[None]))
+
+
+def adapt_params_layout(bind: AvatarBinding, params: G.GaussianParams) -> G.GaussianParams:
+    """Convert checkpointed splat rows between the compact and dense texel
+    layouts so checkpoints stay layout-independent. No-op when the row count
+    already matches ``bind``."""
+    rows = params.xyz.shape[0]
+    if rows == bind.binding.shape[0]:
+        return params
+    if bind.dense:
+        return densify_params(bind, params)
+    # dense checkpoint → compact rows: take the alive texels in row-major
+    # order (flat_idx is exactly that order)
+    take = np.asarray(bind.flat_idx)
+    return G.GaussianParams(**{
+        k: jnp.asarray(np.asarray(getattr(params, k))[take]) for k in G.PARAM_NAMES})
+
+
 def init_empty(bind: AvatarBinding, max_sh_degree: int) -> G.GaussianParams:
     """AvatarSimulationModel.init_empty_gaussians (:318-332): zero splats to
     be filled from a texture checkpoint."""
@@ -243,20 +308,40 @@ def init_empty(bind: AvatarBinding, max_sh_degree: int) -> G.GaussianParams:
 # ---------------------------------------------------------------------------
 
 def gaussian_maps(bind: AvatarBinding, params: G.GaussianParams) -> Dict[str, np.ndarray]:
-    """Pack splat attributes into (res,res,·) textures + mask."""
+    """Pack splat attributes into (res,res,·) textures + mask.
+
+    The on-disk format is layout-independent: dense-layout rows at dead
+    texels are zeroed so a dense run writes the same checkpoint a compact
+    run would."""
     res = bind.texture_size
     mask = np.zeros((res, res), bool)
-    mask[np.asarray(bind.gs_u), np.asarray(bind.gs_v)] = True
+    if bind.alive is not None:
+        mask = np.asarray(bind.alive).reshape(res, res)
+    else:
+        mask[np.asarray(bind.gs_u), np.asarray(bind.gs_v)] = True
     out = {"mask": mask}
     for name in G.PARAM_NAMES:
         val = np.asarray(getattr(params, name))
         tex = np.zeros((res, res, *val.shape[1:]), val.dtype)
         tex[np.asarray(bind.gs_u), np.asarray(bind.gs_v)] = val
+        tex[~mask] = 0
         out[name] = tex
     return out
 
 
-def load_gaussian_maps(maps: Dict[str, np.ndarray]) -> G.GaussianParams:
+def load_gaussian_maps(maps: Dict[str, np.ndarray],
+                       bind: Optional[AvatarBinding] = None) -> G.GaussianParams:
+    """Texture checkpoint → params. Pass a dense ``bind`` to load into the
+    dense layout (full res² rows; dead rotations patched to identity so the
+    masked-out rows stay NaN-free through quat math)."""
+    if bind is not None and bind.dense:
+        res = bind.texture_size
+        params = G.GaussianParams(**{
+            k: jnp.asarray(np.asarray(maps[k]).reshape(res * res, *maps[k].shape[2:]))
+            for k in G.PARAM_NAMES})
+        unit = jnp.array([1.0, 0.0, 0.0, 0.0], params.rotation.dtype)
+        return params.replace(rotation=jnp.where(
+            bind.alive[:, None], params.rotation, unit[None]))
     mask = maps["mask"]
     return G.GaussianParams(**{k: jnp.asarray(maps[k][mask]) for k in G.PARAM_NAMES})
 

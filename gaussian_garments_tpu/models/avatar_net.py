@@ -96,7 +96,14 @@ class AvatarNet(nn.Module):
             rows9 = rows[:, MG.FR_R]
         local_viewdir = MG.rows_rot_apply_t(rows9, dir_pp)       # Rᵀ @ dir
         uu_flat = bind.gs_u.astype(jnp.int32) * res + bind.gs_u.astype(jnp.int32)
-        vd_flat = jnp.zeros((res * res, 3)).at[uu_flat].set(local_viewdir)
+        if bind.alive is not None:
+            # dense layout: redirect dead-texel writes to a dropped dummy row
+            # so only alive texels land, matching the compact scatter
+            uu_flat = jnp.where(bind.alive, uu_flat, res * res)
+            vd_flat = jnp.zeros((res * res + 1, 3)).at[uu_flat].set(
+                local_viewdir)[:res * res]
+        else:
+            vd_flat = jnp.zeros((res * res, 3)).at[uu_flat].set(local_viewdir)
         viewdir_map = vd_flat.reshape(res, res, 3).transpose(2, 0, 1)
         view_feature = self.viewdir_net(viewdir_map[None].astype(self.act_dtype))
 

@@ -134,6 +134,8 @@ def _s3_project(net, net_vars, splats, bind, mesh_f, item_row, *,
             image_width=vis_raster_hw[1], image_height=vis_raster_hw[0],
             rows=rows)
     opacity = opacity * vis.astype(opacity.dtype)
+    if bind.alive is not None:  # dense layout: dead texels never render
+        opacity = opacity * bind.alive.astype(opacity.dtype)
 
     proj = project_gaussians(
         means3d, item_row["world_view"], item_row["full_proj"], item_row["campos"],
@@ -214,10 +216,23 @@ def _s3_losses(net, net_params, net_buffers, splats, bind, mesh_f, item: S3Item,
     loss_dict: Dict[str, jnp.ndarray] = {}
     loss_dict["img"] = l1_loss(rendered, item.image, mask) * (1.0 - args.lambda_dssim)
     loss_dict["ssim"] = 1.0 - ssim(rendered, item.image, mask) * args.lambda_dssim
-    # hinges (s3_appearance.py:134-137): local_xyz per item; scale/opacity global
-    loss_dict["xyz"] = jax.nn.relu(_safe_norm(local_xyz, -1) - args.threshold_xyz).mean() * args.lambda_xyz
-    loss_dict["scale"] = _safe_norm(jax.nn.relu(jnp.exp(splats.scaling) - args.threshold_scale), 1).mean() * args.lambda_scale
-    loss_dict["opacity"] = jax.nn.relu(args.threshold_opacity - G.get_opacity(splats)).mean() * args.lambda_opacity
+    # hinges (s3_appearance.py:134-137): local_xyz per item; scale/opacity
+    # global. Dense layout: reduce over alive texels only, so the hinge
+    # values/grads match the compact (reference) reduction exactly.
+    if bind.alive is not None:
+        a = bind.alive.astype(jnp.float32)
+        amean = lambda x: (x * a).sum() / jnp.maximum(a.sum(), 1.0) / (
+            x.shape[0] if x.ndim == 2 else 1.0)
+        xyz_h = amean(jax.nn.relu(_safe_norm(local_xyz, -1) - args.threshold_xyz))
+        scale_h = amean(_safe_norm(jax.nn.relu(jnp.exp(splats.scaling) - args.threshold_scale), 1))
+        op_h = amean(jax.nn.relu(args.threshold_opacity - G.get_opacity(splats)).reshape(-1))
+    else:
+        xyz_h = jax.nn.relu(_safe_norm(local_xyz, -1) - args.threshold_xyz).mean()
+        scale_h = _safe_norm(jax.nn.relu(jnp.exp(splats.scaling) - args.threshold_scale), 1).mean()
+        op_h = jax.nn.relu(args.threshold_opacity - G.get_opacity(splats)).mean()
+    loss_dict["xyz"] = xyz_h * args.lambda_xyz
+    loss_dict["scale"] = scale_h * args.lambda_scale
+    loss_dict["opacity"] = op_h * args.lambda_opacity
 
     total = jnp.zeros(())
     for v in loss_dict.values():
@@ -254,6 +269,8 @@ def make_s3_pair_counter(*, raster_cfg: RasterConfig = RasterConfig(),
                     image_width=vis_raster_hw[1], image_height=vis_raster_hw[0],
                     rows=rows)
             opacity = opacity * vis.astype(opacity.dtype)
+            if bind.alive is not None:
+                opacity = opacity * bind.alive.astype(opacity.dtype)
             proj = project_gaussians(
                 means3d, wv, fp, cp,
                 image_width=item.width, image_height=item.height,

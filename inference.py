@@ -43,6 +43,9 @@ def main():
                         help="per-splat first-hit ray cast for joint "
                              "visibility (reference-exact, O(splats*faces)); "
                              "default is the depth-buffer formulation")
+    parser.add_argument("--dense_texels", action="store_true",
+                        help="dense res^2 texel layout (reshape instead of "
+                             "texture gathers; faster on TPU)")
     parser.add_argument("--white_background", action="store_true")
     args = parser.parse_args(sys.argv[1:])
 
@@ -51,7 +54,8 @@ def main():
 
     simu = Simulation(args.traj_path, args.output_path,
                       sh_degree=args.sh_degree, texture_size=args.texture_size,
-                      exact_visibility=args.exact_visibility)
+                      exact_visibility=args.exact_visibility,
+                      dense_texels=args.dense_texels)
 
     cam_json = Path(DEFAULTS.output_root) / simu.garment_names[0] / DEFAULTS.stage1 / "cameras.json"
     cam_params = json.load(open(cam_json))

@@ -70,6 +70,10 @@ def main():
     parser.add_argument("--blur_mask", action="store_true")
     parser.add_argument("--llffhold", type=int, default=12)
     parser.add_argument("--items_per_step", type=int, default=1)
+    parser.add_argument("--dense_texels", action="store_true",
+                        help="dense res^2 texel layout with an alive mask: "
+                             "texture gathers/scatters become reshapes "
+                             "(faster on TPU when most texels are alive)")
     parser.add_argument("--unet_bf16", action="store_true",
                         help="bf16 UNet activations (f32 master params; "
                              "~5%% faster step — validate with the eval-"
@@ -105,7 +109,8 @@ def main():
 
     # UV binding + dataset
     template = read_obj(Path(args.subject_out) / DEFAULTS.stage1 / "template_uv.obj")
-    bind, _ = AG.build_binding(template["uvs"], template["texture_faces"], args.texture_size)
+    bind, _ = AG.build_binding(template["uvs"], template["texture_faces"], args.texture_size,
+                               dense=args.dense_texels)
     dataset = AvatarDataset(args, bind=bind)
     mesh_f = jnp.asarray(np.asarray(template["faces"], np.int64).astype(np.int32))
 
@@ -164,7 +169,8 @@ def main():
     if has_s3_ckpt(ckpt_dir):
         ck = load_s3_ckpt(ckpt_dir)
         state = state.replace(net_params=ck["net_params"],
-                              net_buffers=ck["net_buffers"], splats=ck["splats"])
+                              net_buffers=ck["net_buffers"],
+                              splats=AG.adapt_params_layout(bind, ck["splats"]))
         start_epoch = ck["epoch"] + 1
         print(f"Resumed from epoch {ck['epoch']}")
 

@@ -56,9 +56,9 @@ def _measure():
     rng = np.random.RandomState(0)
     cams, verts, faces, uvs, colors = syn.make_scene(
         n_cams=1, nx=48, ny=48, width=W, height=H)
-    bind, _ = AG.build_binding(uvs, faces, res)
+    bind, _ = AG.build_binding(uvs, faces, res, dense="--dense" in sys.argv)
     n = bind.binding.shape[0]
-    print(f"texels bound: {n} ({res}² texture)", flush=True)
+    print(f"texels bound: {n} ({res}² texture, dense={bind.dense})", flush=True)
     splats = G.GaussianParams(
         xyz=jnp.zeros((n, 3)),
         features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.1),
@@ -96,7 +96,8 @@ def _measure():
             image_width=W, image_height=H, tanfovx=c.tanfovx, tanfovy=c.tanfovy,
             scales=MG.world_scaling(splats, bind.binding, frames),
             rotations=MG.world_rotation(splats, bind.binding, frames),
-            shs=shs, opacities=G.get_opacity(splats).reshape(-1) * vis(mesh_v),
+            shs=shs, opacities=G.get_opacity(splats).reshape(-1) * vis(mesh_v)
+            * (bind.alive.astype(jnp.float32) if bind.alive is not None else 1.0),
             sh_degree=sh_degree)
 
     def vis(mesh_v):

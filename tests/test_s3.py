@@ -269,3 +269,116 @@ class TestUNetBf16:
             a, b = float(ld32[k]), float(ldbf[k])
             assert np.isfinite(b), k
             assert abs(a - b) <= 0.05 * max(abs(a), 0.02), (k, a, b)
+
+
+class TestDenseLayout:
+    """Dense res²-texel layout (``build_binding(dense=True)``): gathers/
+    scatters become reshapes; dead texels are masked by ``alive``. Every
+    observable (textures, losses, renders, checkpoints) must match the
+    compact (reference-semantics) layout."""
+
+    @pytest.fixture(scope="class")
+    def dense_binding(self, scene, binding):
+        cams, verts, faces, uvs, colors = scene
+        _, bind_map = binding
+        bind_d, _ = AG.build_binding(uvs, faces, RES, bind_map=bind_map, dense=True)
+        return bind_d
+
+    def test_structure(self, binding, dense_binding):
+        bind_c, bind_map = binding
+        bind_d = dense_binding
+        assert bind_d.dense and bind_d.binding.shape[0] == RES * RES
+        alive = np.asarray(bind_d.alive)
+        assert alive.sum() == bind_c.binding.shape[0]
+        # alive rows carry the compact binding/barycentrics in the same order
+        np.testing.assert_array_equal(np.asarray(bind_d.binding)[alive],
+                                      np.asarray(bind_c.binding))
+        np.testing.assert_allclose(np.asarray(bind_d.gs_bc)[alive],
+                                   np.asarray(bind_c.gs_bc), atol=1e-6)
+        np.testing.assert_array_equal(np.where(alive)[0], np.asarray(bind_c.flat_idx))
+
+    def test_gather_scatter_equivalence(self, binding, dense_binding, rng):
+        bind_c, _ = binding
+        bind_d = dense_binding
+        tex = jnp.asarray(rng.randn(5, RES, RES).astype(np.float32))
+        alive = np.asarray(bind_d.alive)
+        got_d = np.asarray(AG.gather_texture(bind_d, tex))
+        got_c = np.asarray(AG.gather_texture(bind_c, tex))
+        np.testing.assert_allclose(got_d[alive], got_c)
+        # scatter: dense rows (garbage at dead texels) -> same texture
+        vals_d = jnp.asarray(rng.randn(RES * RES, 5).astype(np.float32))
+        vals_c = vals_d[np.asarray(bind_c.flat_idx)]
+        np.testing.assert_allclose(
+            np.asarray(AG.scatter_texture(bind_d, vals_d, 5)),
+            np.asarray(AG.scatter_texture(bind_c, vals_c, 5)))
+
+    def test_baker_matches_compact(self, scene, binding, dense_binding):
+        cams, verts, faces, uvs, colors = scene
+        bind_c, _ = binding
+        amb_c, nrm_c = bake_textures(bind_c, verts, faces, n_samples=8)
+        amb_d, nrm_d = bake_textures(dense_binding, verts, faces, n_samples=8)
+        np.testing.assert_allclose(amb_d, amb_c)
+        np.testing.assert_allclose(nrm_d, nrm_c)
+
+    def test_checkpoint_layout_roundtrip(self, binding, dense_binding, rng):
+        bind_c, _ = binding
+        bind_d = dense_binding
+        n = bind_c.binding.shape[0]
+        params_c = G.GaussianParams(
+            xyz=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+            features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32)),
+            features_rest=jnp.asarray(rng.randn(n, 3, 3).astype(np.float32)),
+            scaling=jnp.asarray(rng.randn(n, 3).astype(np.float32)),
+            rotation=jnp.asarray(rng.randn(n, 4).astype(np.float32)),
+            opacity=jnp.asarray(rng.randn(n, 1).astype(np.float32)),
+        )
+        params_d = AG.densify_params(bind_d, params_c)
+        # dense -> compact adapter inverts densify
+        back = AG.adapt_params_layout(bind_c, params_d)
+        for k in G.PARAM_NAMES:
+            np.testing.assert_allclose(np.asarray(getattr(back, k)),
+                                       np.asarray(getattr(params_c, k)), err_msg=k)
+        # texture checkpoints are layout-independent
+        maps_c = AG.gaussian_maps(bind_c, params_c)
+        maps_d = AG.gaussian_maps(bind_d, params_d)
+        for k in maps_c:
+            np.testing.assert_allclose(maps_d[k], maps_c[k], err_msg=k)
+        # dense load patches dead rotations to identity
+        loaded = AG.load_gaussian_maps(maps_c, bind=bind_d)
+        dead = ~np.asarray(bind_d.alive)
+        np.testing.assert_array_equal(
+            np.asarray(loaded.rotation)[dead],
+            np.tile([1.0, 0, 0, 0], (dead.sum(), 1)))
+        np.testing.assert_allclose(
+            np.asarray(loaded.xyz)[np.asarray(bind_d.alive)],
+            np.asarray(params_c.xyz))
+
+    def test_step_matches_compact(self, scene, binding, dense_binding, rng):
+        """One full jitted training step: loss dicts and the post-step eval
+        render agree between layouts."""
+        rng2 = np.random.RandomState(7)
+        net, state_c, item, f32 = _build_state(scene, binding, rng2)
+        bind_c, _ = binding
+        bind_d = dense_binding
+        state_d = state_c.replace(
+            splats=AG.densify_params(bind_d, state_c.splats),
+            splat_adam=None)
+        from gaussian_garments_tpu.models.adam import tree_adam_init
+        state_d = state_d.replace(splat_adam=tree_adam_init(state_d.splats))
+
+        parser = ArgumentParser()
+        opt = OptimizationParams(parser).extract(parser.parse_args([]))
+        args = Namespace(**{**vars(opt), "lr_init": 5e-4})
+        cfg = RasterConfig(tile_capacity=128, chunk_tiles=16)
+        step = S3.make_s3_step(net, args, sh_degree=1, raster_cfg=cfg,
+                               vis_raster_hw=(64, 64))
+        state_c, ld_c = step(state_c, bind_c, f32, item)
+        state_d, ld_d = step(state_d, bind_d, f32, item)
+        for k in ld_c:
+            a, b = float(ld_c[k]), float(ld_d[k])
+            assert abs(a - b) <= 1e-4 * max(abs(a), 1e-3) + 1e-6, (k, a, b)
+
+        ev = S3.make_s3_eval(net, sh_degree=1, raster_cfg=cfg, vis_raster_hw=(64, 64))
+        img_c = np.asarray(ev(state_c, bind_c, f32, item))
+        img_d = np.asarray(ev(state_d, bind_d, f32, item))
+        np.testing.assert_allclose(img_d, img_c, atol=2e-4)
