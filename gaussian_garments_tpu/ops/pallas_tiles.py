@@ -105,7 +105,12 @@ def _lower_bound(sorted_arr: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     for _ in range(max(1, int(np.ceil(np.log2(n + 1))))):
         mid = (lo + hi) >> 1
         v = sorted_arr[jnp.minimum(mid, n - 1)]
-        go_right = v < queries
+        # mid == n only in the converged lo == hi == n state (query greater
+        # than every element); the clamped read then compares sorted[n-1]
+        # and, un-guarded, walks lo past n — an off-by-one that corrupts the
+        # last tile's segment whenever the pair table has no junk tail
+        # (n_valid == np_slots, e.g. an exactly-full pair budget)
+        go_right = (v < queries) & (mid < n)
         lo = jnp.where(go_right, mid + 1, lo)
         hi = jnp.where(go_right, hi, mid)
     return lo
@@ -234,6 +239,7 @@ def pack_pairs(
     max_tiles_side: int,
     pair_budget: int,
     feats_packed: "bool | None" = None,
+    _force_two_key: bool = False,
 ) -> PackedPairs:
     """Binning + pair-space feature gather + work-item tables (XLA): CUDA's
     duplicateWithKeys + radix sort + identifyTileRanges.
@@ -261,7 +267,7 @@ def pack_pairs(
     order = jnp.argsort(depth)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
-    if n <= (1 << RANK_BITS) and num_tiles < (1 << (31 - RANK_BITS)) and side <= 7:
+    if n <= (1 << RANK_BITS) and side <= 15:
         # ---- compact generation, RANK-MAJOR: emit exactly the valid pairs
         # (sorting all N·side² candidate slots costs ~2.6× more at 150K
         # splats / side=6), iterating splats in depth-rank order so that
@@ -269,13 +275,13 @@ def pack_pairs(
         # N-row delta scatter + one (NP,3) cumsum instead of a 2.1M row
         # gather (~13 ms, which would eat the whole sort saving;
         # MEASUREMENTS.md "binning decomposition").
-        # side must fit the 3-bit width field in ``meta``. ----
+        # side must fit the 4-bit width field in ``meta``. ----
         w = jnp.minimum(jnp.maximum(x1 - x0, 0), side)
         h = jnp.minimum(jnp.maximum(y1 - y0, 0), side)
         area = jnp.where(alive, w * h, 0)
         # permute per-splat tables into rank order (cheap N-row gathers)
         area_r = area[order]
-        meta_r = (((y0 * tiles_x + x0) << 6) | (w << 3))[order]
+        meta_r = (((y0 * tiles_x + x0) << 8) | (w << 4))[order]
         base_r = (jnp.cumsum(area_r) - area_r).astype(jnp.int32)   # exclusive
         n_valid = base_r[-1] + area_r[-1]
         np_slots = min(pair_budget, n * side * side)
@@ -296,22 +302,37 @@ def pack_pairs(
         # side-step comparison ladder (w <= side, small constant)
         p_iota = jnp.arange(np_slots, dtype=jnp.int32)
         j = p_iota - bs
-        ws = (ms >> 3) & 0x7
+        ws = (ms >> 4) & 0xF
         jy = jnp.zeros_like(j)
         for k in range(1, side):
             jy += (j >= k * ws).astype(jnp.int32)
         jx = j - jy * ws
-        tile = (ms >> 6) + jy * tiles_x + jx
+        tile = (ms >> 8) + jy * tiles_x + jx
 
         # junk slots (p >= n_valid) sort to the very end in BOTH tile-major
         # (tile = num_tiles) and rank-major (rank bits = RANK_MASK) order
         p_valid = p_iota < n_valid
-        key = jnp.where(p_valid, (tile << RANK_BITS) | rk,
-                        (num_tiles << RANK_BITS) | RANK_MASK)
-        sorted_key = jax.lax.sort(key)
-        sorted_rank = sorted_key & RANK_MASK
-        bound_q = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << RANK_BITS)
-        bounds = _lower_bound(sorted_key, bound_q)
+        if num_tiles < (1 << (31 - RANK_BITS)) and not _force_two_key:
+            # fused single int32 key: one key-only sort, splat identity in the
+            # rank bits (the fast path for every standard resolution)
+            key = jnp.where(p_valid, (tile << RANK_BITS) | rk,
+                            (num_tiles << RANK_BITS) | RANK_MASK)
+            sorted_key = jax.lax.sort(key)
+            sorted_rank = sorted_key & RANK_MASK
+            bound_q = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << RANK_BITS)
+            bounds = _lower_bound(sorted_key, bound_q)
+        else:
+            # HQ resolutions (e.g. the reference's 3004×4092 → 48K tiles,
+            # inference.py:444-445): (tile ≪ 18 | rank) no longer fits int32,
+            # so lexicographically co-sort (tile, rank) as two int32 keys —
+            # ~2× the key-only sort cost, still over exactly the compact
+            # pairs (the N·side²-slot fallback below would cost far more)
+            tile_j = jnp.where(p_valid, tile, num_tiles)
+            rk_j = jnp.where(p_valid, rk, jnp.int32(0x7FFFFFFF))
+            sorted_tile, sorted_rank = jax.lax.sort(
+                (tile_j, rk_j), num_keys=2)
+            bounds = _lower_bound(
+                sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32))
     else:
         off = jnp.arange(side * side, dtype=jnp.int32)
         tx = x0[:, None] + (off % side)[None, :]

@@ -45,7 +45,7 @@ def run_driver(extra, label, iters, timeout_s=3600):
            "GG_OUTPUT_ROOT": str(DATA / "out"),
            "GG_AUX_ROOT": str(DATA / "aux")}
     cmd = [sys.executable, "s2_registration.py", "-s", "subj", "-q", "seq1",
-           "-t", "Template",
+           "-t", "Template", "--eval",
            "--first_frame_iterations_cross", "600",
            "--other_frame_iterations", str(iters),
            "--collision_iteration", str(max(iters // 5, 1)),

@@ -211,6 +211,123 @@ class TestPallasBatched:
                                            err_msg=f"cam {c} {name}")
 
 
+class TestHQBinning:
+    """HQ-resolution binning: the two-key (tile, rank) co-sort path used when
+    ``num_tiles >= 2^13`` — e.g. the reference's 3004×4092 HQ render setting
+    (``inference.py:444-445``), 48K tiles — and wide rects up to the 4-bit
+    side field (``max_tiles_side <= 15``)."""
+
+    def test_two_key_sort_matches_single_key(self, rng):
+        from gaussian_garments_tpu.ops.pallas_tiles import pack_pairs
+
+        means, scales, rots, opac, shs, cam = _scene(rng)
+        proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
+        kw = dict(tiles_x=-(-W // 16), tiles_y=-(-H // 16),
+                  max_tiles_side=6, pair_budget=8192)
+        a = pack_pairs(proj, **kw)
+        b = pack_pairs(proj, _force_two_key=True, **kw)
+        nv = int(a.n_valid)
+        assert nv == int(b.n_valid) and nv > 0
+        np.testing.assert_array_equal(np.asarray(a.sorted_rank)[:nv],
+                                      np.asarray(b.sorted_rank)[:nv])
+        for f in ("feats_t", "starts", "counts", "chunk_of_item",
+                  "tile_of_item", "k_of_item"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                          np.asarray(getattr(b, f)), err_msg=f)
+
+    def test_wide_rects_match_oracle(self, rng):
+        """Rect sides up to ~12 tiles (huge splats) through the 4-bit width
+        field at max_tiles_side=15 reproduce the exact oracle."""
+        W2 = H2 = 256
+        n = 10
+        means = (rng.randn(n, 3) * 0.25).astype(np.float32)
+        scales = np.exp(rng.randn(n, 3).astype(np.float32) * 0.2 - 1.3)
+        rots = rng.randn(n, 4).astype(np.float32)
+        opac = (1 / (1 + np.exp(-rng.randn(n)))).astype(np.float32)
+        shs = rng.randn(n, 1, 3).astype(np.float32) * 0.3
+        cam = make_camera(np.eye(3), np.array([0.0, 0, 3.0]), fx=300, fy=300,
+                          cx=W2 / 2, cy=H2 / 2, width=W2, height=H2)
+        proj = project_gaussians(
+            jnp.asarray(means), cam.world_view_transform, cam.full_proj_transform,
+            cam.camera_center, image_width=W2, image_height=H2,
+            tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            shs=jnp.asarray(shs), opacities=jnp.asarray(opac), sh_degree=0)
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        # oracle: the tiled backend (identical rect + masking math). The
+        # per-pixel reference composites EVERY splat with no 3σ-circle rect
+        # cut, so at these huge-splat sizes it keeps sub-1% alpha tails the
+        # whole CUDA rasterizer class deliberately drops (PARITY.md).
+        from gaussian_garments_tpu.ops.tiled import rasterize_tiled
+        it = rasterize_tiled(proj, image_height=H2, image_width=W2, bg=bg,
+                             max_tiles_side=15, tile_capacity=64)
+        ip, dp, ap, aux = _forward(proj, bg, image_height=H2, image_width=W2,
+                                   max_tiles_side=15, pair_budget=16384,
+                                   interpret=True)
+        # at least one rect must actually be wider than the old 3-bit limit
+        from gaussian_garments_tpu.ops.pallas_tiles import _tile_rects
+        x0, y0, x1, y1, alive = _tile_rects(proj, tiles_x=W2 // 16, tiles_y=H2 // 16)
+        assert int(jnp.max(jnp.where(alive, x1 - x0, 0))) > 7
+        assert int(aux["n_clipped"]) == 0
+        np.testing.assert_allclose(np.asarray(ip), np.asarray(it[0]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(it[2]), atol=2e-6)
+
+    def test_exact_fit_budget_bounds(self, rng):
+        """With the pair budget exactly full (every slot valid, no junk
+        tail) the per-tile bounds must stay inside the table. Regression:
+        ``_lower_bound`` walked one past the end for queries greater than
+        every element, giving the last covered tile a phantom extra pair."""
+        from gaussian_garments_tpu.ops.pallas_tiles import pack_pairs
+
+        means, scales, rots, opac, shs, cam = _scene(rng)
+        proj = _proj(cam, *(jnp.asarray(x) for x in (means, scales, rots, opac, shs)))
+        kw = dict(tiles_x=-(-W // 16), tiles_y=-(-H // 16), max_tiles_side=6)
+        full = pack_pairs(proj, pair_budget=8192, **kw)
+        budget = int(full.n_valid) // 2          # force truncation: all slots valid
+        pp = pack_pairs(proj, pair_budget=budget, **kw)
+        starts = np.asarray(pp.starts)[:-1]
+        counts = np.asarray(pp.counts)[:-1]
+        assert int(pp.n_valid) > budget          # genuinely overflowing
+        assert (starts + counts).max() <= budget
+        assert counts.sum() == budget
+
+    def test_hq_tile_count_render(self, rng):
+        """End-to-end forward at a tile count past the int32 fused-key limit
+        (2064×1040 → 8385 tiles ≥ 2^13): the production path takes the
+        two-key sort and matches the exact oracle."""
+        W2, H2 = 2064, 1040
+        assert (-(-W2 // 16)) * (-(-H2 // 16)) >= (1 << 13)
+        n = 12
+        means = (rng.randn(n, 3) * 0.4).astype(np.float32)
+        # small enough that no rect hits the side-6 window (when clipping
+        # kicks in, pallas and tiled legitimately anchor the truncated
+        # window differently: tight extents vs 3σ rects)
+        scales = np.exp(rng.randn(n, 3).astype(np.float32) * 0.2 - 4.2)
+        rots = rng.randn(n, 4).astype(np.float32)
+        opac = (1 / (1 + np.exp(-rng.randn(n)))).astype(np.float32)
+        shs = rng.randn(n, 1, 3).astype(np.float32) * 0.3
+        cam = make_camera(np.eye(3), np.array([0.0, 0, 3.0]), fx=1500, fy=1500,
+                          cx=W2 / 2, cy=H2 / 2, width=W2, height=H2)
+        proj = project_gaussians(
+            jnp.asarray(means), cam.world_view_transform, cam.full_proj_transform,
+            cam.camera_center, image_width=W2, image_height=H2,
+            tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+            scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
+            shs=jnp.asarray(shs), opacities=jnp.asarray(opac), sh_degree=0)
+        bg = jnp.asarray([0.05, 0.1, 0.15])
+        # tiled backend as oracle (identical rect math; see wide-rect test)
+        from gaussian_garments_tpu.ops.tiled import rasterize_tiled
+        it = rasterize_tiled(proj, image_height=H2, image_width=W2, bg=bg,
+                             max_tiles_side=8, tile_capacity=64)
+        ip, _, ap, aux = _forward(proj, bg, image_height=H2, image_width=W2,
+                                  max_tiles_side=8, pair_budget=8192,
+                                  interpret=True)
+        assert int(aux["n_overflow"]) == 0
+        assert int(aux["n_clipped"]) == 0
+        np.testing.assert_allclose(np.asarray(ip), np.asarray(it[0]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(it[2]), atol=2e-6)
+
+
 class TestPackedFeats:
     """bf16 hi/lo packed feature table (auto beyond ~190K splats; forced via
     ``feats_packed=True`` here so interpret-mode sizes stay test-tractable).
@@ -223,7 +340,7 @@ class TestPackedFeats:
         bg = jnp.asarray([0.1, 0.2, 0.3])
         ir, dr, ar = rasterize_reference(proj, image_height=H, image_width=W, bg=bg)
         ip, dp, ap, aux = _forward(proj, bg, image_height=H, image_width=W,
-                                   max_tiles_side=6, pair_budget=8192,
+                                   max_tiles_side=8, pair_budget=8192,
                                    interpret=True, feats_packed=True)
         np.testing.assert_allclose(np.asarray(ip), np.asarray(ir), atol=5e-3)
         np.testing.assert_allclose(np.asarray(dp), np.asarray(dr), atol=2e-2)
