@@ -25,7 +25,29 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-_ASYNC_CKPTR = None          # lazily-built orbax AsyncCheckpointer (reused)
+_MANAGERS: Dict[str, object] = {}   # target dir -> orbax CheckpointManager
+
+
+def _manager(target: Path):
+    """One CheckpointManager per target dir, reused across saves. The manager
+    gives us what a bare ``StandardCheckpointer(force=True)`` does not:
+    versioned step dirs with atomic commit markers (a kill mid-save leaves the
+    previous checkpoint intact and resumable), stale-tmp cleanup at init (a
+    killed writer's ``*.orbax-checkpoint-tmp`` otherwise breaks every later
+    save with tensorstore ENOENT rename races — reproduced on the s3 CLI),
+    and built-in async with ``wait_until_finished``."""
+    import orbax.checkpoint as ocp
+
+    key = str(target)
+    m = _MANAGERS.get(key)
+    if m is None:
+        m = ocp.CheckpointManager(
+            key,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=2, create=True, cleanup_tmp_directories=True,
+                enable_async_checkpointing=True))
+        _MANAGERS[key] = m
+    return m
 
 
 def _state_tree(state, epoch: int, active_sh_degree: int, save_optm: bool):
@@ -45,26 +67,21 @@ def _state_tree(state, epoch: int, active_sh_degree: int, save_optm: bool):
 
 def _save_orbax(path: Path, state, epoch, active_sh_degree, save_optm,
                 async_save: bool) -> None:
-    global _ASYNC_CKPTR
     import orbax.checkpoint as ocp
 
     tree = _state_tree(state, epoch, active_sh_degree, save_optm)
-    target = (path / "net.orbax").absolute()
-    if async_save:
-        if _ASYNC_CKPTR is None:
-            _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-        _ASYNC_CKPTR.save(target, args=ocp.args.StandardSave(tree), force=True)
-    else:
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(target, tree, force=True)
-        ckptr.wait_until_finished()
+    m = _manager((path / "net.orbax").absolute())
+    # step = epoch; force=True lets a mid-epoch save overwrite its own epoch
+    m.save(int(epoch), args=ocp.args.StandardSave(tree), force=True)
+    if not async_save:
+        m.wait_until_finished()
 
 
 def wait_for_saves() -> None:
     """Block until any in-flight async orbax save has committed (call before
     process exit or before reading the checkpoint back)."""
-    if _ASYNC_CKPTR is not None:
-        _ASYNC_CKPTR.wait_until_finished()
+    for m in _MANAGERS.values():
+        m.wait_until_finished()
 
 
 def save_s3_ckpt(model_path, state, epoch: int, active_sh_degree: int = 3,
@@ -107,7 +124,13 @@ def load_s3_ckpt(model_path, name: str = "ckpt") -> Dict:
     if orbax_dir.exists():
         import orbax.checkpoint as ocp
         wait_for_saves()
-        net = ocp.StandardCheckpointer().restore(orbax_dir.absolute())
+        m = _manager(orbax_dir.absolute())
+        step = m.latest_step()
+        if step is not None:
+            net = dict(m.restore(step, args=ocp.args.StandardRestore()))
+        else:
+            # legacy r2 single-dir layout (bare StandardCheckpointer target)
+            net = ocp.StandardCheckpointer().restore(orbax_dir.absolute())
         # orbax restores NamedTuples as plain dicts without a template
         if isinstance(net.get("splats"), dict):
             net["splats"] = GaussianParams(**net["splats"])
@@ -130,7 +153,17 @@ def load_s3_ckpt(model_path, name: str = "ckpt") -> Dict:
 
 def has_s3_ckpt(model_path, name: str = "ckpt") -> bool:
     path = Path(model_path) / name
-    return (path / "net.pkl").exists() or (path / "net.orbax").exists()
+    if (path / "net.pkl").exists():
+        return True
+    od = path / "net.orbax"
+    if not od.is_dir():
+        return False
+    # a COMMITTED checkpoint only: a digit-named manager step dir (tmp dirs
+    # carry a suffix) or the legacy single-dir layout's metadata file — an
+    # empty/uncommitted dir left by a killed first save must not trip resume
+    if any(p.is_dir() and p.name.isdigit() for p in od.iterdir()):
+        return True
+    return (od / "_CHECKPOINT_METADATA").exists()
 
 
 def capture(state) -> Dict:

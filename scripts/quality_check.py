@@ -5,7 +5,9 @@ tests/test_pallas.py / test_rasterizer.py), plus a direct pallas-vs-exact
 check at 512²/20K where the per-pixel oracle is tractable.
 
 BASELINE.md target: ≤0.1 dB PSNR delta vs the CUDA reference class.
-Prints one JSON line: {"psnr_1080p_vs_tiled": ..., "psnr_512_vs_exact": ...}.
+Prints one JSON line: {"psnr_1080p_vs_tiled", "psnr_512_vs_exact",
+"psnr_250k_packed_vs_f32", "psnr_unet_bf16_vs_f32"} — the last is the
+production-scale image-level gate for `s3_appearance.py --unet_bf16`.
 """
 import json
 import os
@@ -87,6 +89,65 @@ def _measure():
     m3 = image_metrics(jax.jit(lambda: rr(True))(), jax.jit(lambda: rr(False))())
     out["psnr_250k_packed_vs_f32"] = round(m3["psnr"], 2)
 
+    # the first three metrics are the load-bearing gates; emit them before
+    # the slower production-scale net comparison so a tunnel wedge there
+    # doesn't lose them (the parent keeps the LAST GG_QUALITY line)
+    print("GG_QUALITY " + json.dumps(out), flush=True)
+
+    # --- production-scale s3 eval render: --unet_bf16 activations vs f32
+    # (ROADMAP "quality gates for the precision paths"): the full
+    # inference-path forward — 512² AvatarNet → shadow textures → 262K texel
+    # splats → 940×1280 Pallas render — with identical (random-init f32)
+    # params, differing ONLY in act_dtype. PSNR between the two images bounds
+    # the image-level cost of `s3_appearance.py --unet_bf16`. ---
+    from gaussian_garments_tpu.data import synthetic as syn
+    from gaussian_garments_tpu.data.baker import bake_textures
+    from gaussian_garments_tpu.models import avatar_gaussian as AG
+    from gaussian_garments_tpu.models import gaussian as G
+    from gaussian_garments_tpu.models.avatar_net import AvatarNet
+    from gaussian_garments_tpu.training import s3 as S3
+
+    res, W3, H3 = 512, 940, 1280
+    cams3, verts, faces, uvs, _colors = syn.make_scene(
+        n_cams=1, nx=48, ny=48, width=W3, height=H3)
+    bind, _ = AG.build_binding(uvs, faces, res)
+    n = bind.binding.shape[0]
+    splats = G.GaussianParams(
+        xyz=jnp.zeros((n, 3)),
+        features_dc=jnp.asarray(rng.randn(n, 1, 3).astype(np.float32) * 0.1),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.full((n, 3), -6.5),
+        rotation=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n, 1)),
+        opacity=jnp.full((n, 1), 2.0),
+    )
+    amb, nrm = bake_textures(bind, verts, faces, n_samples=8)
+    mesh_f = jnp.asarray(faces.astype(np.int32))
+    c = cams3[0]
+    vis = jax.jit(lambda mv: AG.get_visible_mask_depth(
+        bind, mv, mesh_f, c.world_view_transform, c.full_proj_transform,
+        image_width=256, image_height=256))(jnp.asarray(verts))
+    item = S3.S3Item(
+        vis=vis.astype(jnp.float32)[None],
+        image=c.original_image[None], mask=c.gt_alpha_mask[None],
+        bg=jnp.zeros((1, 3)), mesh_v=jnp.asarray(verts)[None],
+        ambient=jnp.asarray(amb)[None], normal=jnp.asarray(nrm)[None],
+        world_view=c.world_view_transform[None],
+        full_proj=c.full_proj_transform[None],
+        campos=c.camera_center[None],
+        tanfovx=jnp.asarray([c.tanfovx]), tanfovy=jnp.asarray([c.tanfovy]),
+        width=W3, height=H3,
+    )
+    net32 = AvatarNet(texture_size=res, sh_degree=3, act_dtype=jnp.float32)
+    net16 = AvatarNet(texture_size=res, sh_degree=3, act_dtype=jnp.bfloat16)
+    state = S3.init_state(net32, bind, splats, verts, faces, item)
+    cfg3 = RasterConfig(backend="pallas")
+    img32 = jnp.clip(S3.make_s3_eval(net32, sh_degree=3, raster_cfg=cfg3)(
+        state, bind, mesh_f, item)[0], 0, 1)
+    img16 = jnp.clip(S3.make_s3_eval(net16, sh_degree=3, raster_cfg=cfg3)(
+        state, bind, mesh_f, item)[0], 0, 1)
+    m4 = image_metrics(img16, img32)
+    out["psnr_unet_bf16_vs_f32"] = round(m4["psnr"], 2)
+
     print("GG_QUALITY " + json.dumps(out), flush=True)
 
 
@@ -100,10 +161,10 @@ def main():
     for attempt in range(3):
         r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
                            capture_output=True, text=True, timeout=900)
-        for line in r.stdout.splitlines():
-            if line.startswith("GG_QUALITY"):
-                print(line.split(" ", 1)[1])
-                return
+        hits = [l for l in r.stdout.splitlines() if l.startswith("GG_QUALITY")]
+        if hits:
+            print(hits[-1].split(" ", 1)[1])  # last line = most complete set
+            return
         sys.stderr.write(r.stderr[-2000:])
         print(f"[quality] attempt {attempt} incomplete; retrying", file=sys.stderr)
 

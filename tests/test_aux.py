@@ -181,3 +181,45 @@ class TestS3Checkpoint:
         np.testing.assert_allclose(np.asarray(ck["net_params"]["w"]), 3.0)
         np.testing.assert_allclose(np.asarray(ck["splats"].xyz),
                                    np.arange(15.0).reshape(5, 3))
+
+    def test_orbax_survives_killed_writer(self, tmp_path):
+        """A writer killed mid-save leaves an uncommitted net.orbax dir and a
+        stale *.orbax-checkpoint-tmp step; resume must not trip on the
+        uncommitted dir and later saves must still succeed (before the
+        CheckpointManager rewrite this broke every subsequent save with a
+        tensorstore ENOENT rename race — reproduced on the s3 CLI)."""
+        import jax.numpy as jnp
+        from types import SimpleNamespace
+        from gaussian_garments_tpu.models import gaussian as G
+        from gaussian_garments_tpu.models.adam import tree_adam_init
+        from gaussian_garments_tpu.training import checkpoints as C
+
+        splats = G.GaussianParams(
+            xyz=jnp.zeros((5, 3)), features_dc=jnp.ones((5, 1, 3)),
+            features_rest=jnp.zeros((5, 3, 3)), scaling=jnp.zeros((5, 3)),
+            rotation=jnp.zeros((5, 4)), opacity=jnp.zeros((5, 1)))
+        state = SimpleNamespace(
+            net_params={"w": jnp.ones((2, 2))}, net_buffers={"n": jnp.zeros(3)},
+            splats=splats, net_adam=tree_adam_init({"w": jnp.ones((2, 2))}),
+            splat_adam=tree_adam_init(splats), iteration=jnp.int32(1))
+
+        # killed before the first commit: empty net.orbax must NOT look
+        # like a resumable checkpoint
+        od = tmp_path / "ckpt" / "net.orbax"
+        od.mkdir(parents=True)
+        assert not C.has_s3_ckpt(tmp_path)
+
+        # killed mid-write: a stale uncommitted tmp step dir with junk in it
+        junk = od / "7.orbax-checkpoint-tmp-1234567"
+        junk.mkdir()
+        (junk / "garbage").write_text("x")
+        assert not C.has_s3_ckpt(tmp_path)
+
+        C.save_s3_ckpt(tmp_path, state, epoch=7, backend="orbax")
+        C.wait_for_saves()
+        assert C.has_s3_ckpt(tmp_path)
+        assert C.load_s3_ckpt(tmp_path)["epoch"] == 7
+        # the next epoch's save keeps working and resume picks the latest
+        C.save_s3_ckpt(tmp_path, state, epoch=8, backend="orbax")
+        C.wait_for_saves()
+        assert C.load_s3_ckpt(tmp_path)["epoch"] == 8
