@@ -65,16 +65,49 @@ def _state_tree(state, epoch: int, active_sh_degree: int, save_optm: bool):
     return tree
 
 
+_LEGACY_FILES = ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt",
+                 "d", "ocdbt.process_0")
+
+
+def _gc_legacy_layout(root: Path) -> None:
+    """Drop a pre-manager single-dir checkpoint (bare StandardCheckpointer
+    payload at the net.orbax root) once a manager step dir exists: load_s3_ckpt
+    prefers step dirs, so the legacy arrays are dead weight that would double
+    checkpoint disk forever."""
+    import shutil
+
+    if not any(p.is_dir() and p.name.isdigit() for p in root.iterdir()):
+        return
+    for name in _LEGACY_FILES:
+        p = root / name
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        elif p.exists():
+            try:
+                p.unlink()
+            except OSError:
+                pass
+
+
 def _save_orbax(path: Path, state, epoch, active_sh_degree, save_optm,
                 async_save: bool) -> None:
     import orbax.checkpoint as ocp
 
     tree = _state_tree(state, epoch, active_sh_degree, save_optm)
-    m = _manager((path / "net.orbax").absolute())
-    # step = epoch; force=True lets a mid-epoch save overwrite its own epoch
+    root = (path / "net.orbax").absolute()
+    m = _manager(root)
+    # step = epoch, and a mid-epoch save + the end-of-epoch save share the
+    # step. orbax's force=True does NOT overwrite an existing step (its
+    # docstring: "will not overwrite existing checkpoints"); a second save of
+    # the same step raises StepAlreadyExistsError. Drop the stale same-epoch
+    # step first (wait for any async write to commit so delete sees it).
+    m.wait_until_finished()
+    if int(epoch) in m.all_steps():
+        m.delete(int(epoch))
     m.save(int(epoch), args=ocp.args.StandardSave(tree), force=True)
     if not async_save:
         m.wait_until_finished()
+    _gc_legacy_layout(root)
 
 
 def wait_for_saves() -> None:

@@ -159,13 +159,24 @@ def main():
         _measure()
         return
     for attempt in range(3):
-        r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
-                           capture_output=True, text=True, timeout=900)
-        hits = [l for l in r.stdout.splitlines() if l.startswith("GG_QUALITY")]
+        # a wedged (hung) child raises TimeoutExpired — salvage any partial
+        # GG_QUALITY lines it already printed (the early emits exist exactly
+        # for this case) instead of crashing the parent
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
+                               capture_output=True, text=True, timeout=900)
+            stdout, stderr = r.stdout, r.stderr
+        except subprocess.TimeoutExpired as e:
+            stdout = (e.stdout or b"").decode("utf-8", "replace") \
+                if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stderr = (e.stderr or b"").decode("utf-8", "replace") \
+                if isinstance(e.stderr, bytes) else (e.stderr or "")
+            stderr += "\n[quality] child hung past 900s (tunnel wedge?)\n"
+        hits = [l for l in stdout.splitlines() if l.startswith("GG_QUALITY")]
         if hits:
             print(hits[-1].split(" ", 1)[1])  # last line = most complete set
             return
-        sys.stderr.write(r.stderr[-2000:])
+        sys.stderr.write(stderr[-2000:])
         print(f"[quality] attempt {attempt} incomplete; retrying", file=sys.stderr)
 
 

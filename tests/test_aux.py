@@ -223,3 +223,41 @@ class TestS3Checkpoint:
         C.save_s3_ckpt(tmp_path, state, epoch=8, backend="orbax")
         C.wait_for_saves()
         assert C.load_s3_ckpt(tmp_path)["epoch"] == 8
+
+    def test_orbax_same_epoch_resave(self, tmp_path):
+        """s3_appearance.py saves mid-epoch (save_iterations cadence) and
+        again at epoch end with the SAME step=epoch. orbax's force=True does
+        not overwrite an existing step (it raises StepAlreadyExistsError);
+        the saver must delete the stale step first — async mid-epoch + sync
+        end-of-epoch is the exact crash pattern from ADVICE r2."""
+        import jax.numpy as jnp
+        from types import SimpleNamespace
+        from gaussian_garments_tpu.models import gaussian as G
+        from gaussian_garments_tpu.models.adam import tree_adam_init
+        from gaussian_garments_tpu.training import checkpoints as C
+
+        splats = G.GaussianParams(
+            xyz=jnp.zeros((5, 3)), features_dc=jnp.ones((5, 1, 3)),
+            features_rest=jnp.zeros((5, 3, 3)), scaling=jnp.zeros((5, 3)),
+            rotation=jnp.zeros((5, 4)), opacity=jnp.zeros((5, 1)))
+
+        def mk_state(it):
+            return SimpleNamespace(
+                net_params={"w": jnp.full((2, 2), float(it))},
+                net_buffers={"n": jnp.zeros(3)}, splats=splats,
+                net_adam=tree_adam_init({"w": jnp.ones((2, 2))}),
+                splat_adam=tree_adam_init(splats), iteration=jnp.int32(it))
+
+        # async mid-epoch save, then the end-of-epoch sync save of the SAME
+        # epoch while the async write may still be in flight
+        C.save_s3_ckpt(tmp_path, mk_state(100), epoch=1, backend="orbax",
+                       async_save=True)
+        C.save_s3_ckpt(tmp_path, mk_state(250), epoch=1, backend="orbax")
+        C.wait_for_saves()
+        ck = C.load_s3_ckpt(tmp_path)
+        assert ck["epoch"] == 1 and ck["iteration"] == 250
+        np.testing.assert_allclose(np.asarray(ck["net_params"]["w"]), 250.0)
+        # and a third overwrite of the same step still works (sync + sync)
+        C.save_s3_ckpt(tmp_path, mk_state(300), epoch=1, backend="orbax")
+        C.wait_for_saves()
+        assert C.load_s3_ckpt(tmp_path)["iteration"] == 300
