@@ -275,8 +275,9 @@ def cluster_remesh(verts: np.ndarray, faces: np.ndarray, target_faces: int = 800
     clusters (deduplicated), vertices at cluster centroids."""
     from scipy.spatial import cKDTree
 
-    # Euler: closed mesh has F ≈ 2V; aim sites at target_faces/2
-    n_sites = max(target_faces // 2 + 2, 4)
+    # Euler: closed mesh has F ≈ 2V; aim sites at target_faces/2 (FPS can
+    # only return len(verts) sites — clamp so the centroid buffers match)
+    n_sites = min(max(target_faces // 2 + 2, 4), len(verts))
     sites = farthest_point_sampling(verts, n_sites, seed)
     tree = cKDTree(verts[sites])
     _, label = tree.query(verts)

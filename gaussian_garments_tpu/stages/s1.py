@@ -52,6 +52,9 @@ def prepare_dataset(source_root, target_root, camera_model: str = "PINHOLE",
     os.makedirs(imgs_dir, exist_ok=True)
     os.makedirs(sparse_dir, exist_ok=True)
 
+    masks_dir = target_root / "masks"
+    os.makedirs(masks_dir, exist_ok=True)
+
     cam_params = json.load(open(source_root / "cameras.json"))
     cam_paths = sorted([p for p in source_root.iterdir() if p.is_dir() and p.name != "smplx"])
 
@@ -67,6 +70,10 @@ def prepare_dataset(source_root, target_root, camera_model: str = "PINHOLE",
                               fgs[template_frame], GREEN)
         out_name = f"{name}.png"
         save_image(imgs_dir / out_name, d["masked_img"] / 255.0)
+        # garment mask exported for post_process segmentation voting — the
+        # reference writes masks/<cam>.png.png (utils/preprocess_utils.py:62,
+        # 113) and parse_scan reads them back (utils/parse_scan.py:67)
+        save_image(masks_dir / f"{out_name}.png", d["mask"])
 
         intr = np.asarray(cam_params[name]["intrinsics"])
         extr = np.asarray(cam_params[name]["extrinsics"])
@@ -142,13 +149,21 @@ def filter_green_and_outliers(points: np.ndarray, colors: np.ndarray,
     return points[keep], colors[keep]
 
 
-def parse_scan(scan_v: np.ndarray, scan_f: np.ndarray, cameras, masks: List[np.ndarray]) -> np.ndarray:
+def parse_scan(scan_v: np.ndarray, scan_f: np.ndarray, cameras,
+               masks: List[np.ndarray], min_side: int = 512) -> np.ndarray:
     """Per-vertex garment labeling by rasterize-and-vote over every camera
     (reference utils/parse_scan.py:53-119, pytorch3d replaced by our mesh
     rasterizer). ``masks``: per-camera garment masks (H,W) in {0,1}.
-    Returns per-vertex garment probability in [0,1]."""
+    Returns per-vertex garment probability in [0,1].
+
+    The reference rasterizes at a fixed (1280, 940) regardless of mask size
+    (parse_scan.py:77-79); we keep native resolution but integer-supersample
+    cameras below ``min_side`` so a dense Poisson scan still receives votes
+    on most faces (a 64² test camera under-samples a 20K-face scan to the
+    point where nearly every vertex is unseen → dropped)."""
     import jax.numpy as jnp
     from gaussian_garments_tpu.ops.mesh_raster import rasterize_mesh
+    from gaussian_garments_tpu.utils.camera import make_camera
 
     votes = np.zeros(len(scan_v))
     seen = np.zeros(len(scan_v))
@@ -156,16 +171,56 @@ def parse_scan(scan_v: np.ndarray, scan_f: np.ndarray, cameras, masks: List[np.n
     v_j = jnp.asarray(scan_v.astype(np.float32))
     f_j = jnp.asarray(fv.astype(np.int32))
     for cam, mask in zip(cameras, masks):
+        mask = np.asarray(mask)
+        s = max(1, -(-min_side // max(cam.image_width, cam.image_height)))
+        if s > 1:
+            cam = make_camera(R=cam.R, T=cam.T, fx=cam.fx * s, fy=cam.fy * s,
+                              cx=cam.cx * s, cy=cam.cy * s,
+                              width=cam.image_width * s,
+                              height=cam.image_height * s)
+            mask = np.repeat(np.repeat(mask, s, axis=0), s, axis=1)
         p2f, _ = rasterize_mesh(v_j, f_j, cam.world_view_transform, cam.full_proj_transform,
                                 image_width=cam.image_width, image_height=cam.image_height)
         p2f = np.asarray(p2f)
         vis = p2f >= 0
         face_ids = p2f[vis]
-        in_mask = np.asarray(mask)[vis] > 0.5
+        in_mask = mask[vis] > 0.5
         for k in range(3):
             np.add.at(seen, fv[face_ids, k], 1.0)
             np.add.at(votes, fv[face_ids, k], in_mask.astype(np.float64))
     return np.where(seen > 0, votes / np.maximum(seen, 1), 0.0)
+
+
+def load_segmentation_inputs(target_root):
+    """Load the cameras + exported garment masks that ``prepare_dataset``
+    wrote under ``target_root`` (the reference's parse_scan input contract:
+    cameras.json + masks/<cam>.png.png, utils/parse_scan.py:53-79). Cameras
+    are built at each mask's native resolution. Returns (cameras, masks);
+    (None, None) when the masks dir is absent (pre-r3 stage-1 exports)."""
+    from PIL import Image
+
+    from gaussian_garments_tpu.utils.camera import camera_from_json_params
+
+    target_root = Path(target_root)
+    masks_dir = target_root / "masks"
+    cam_json = target_root / "cameras.json"
+    if not masks_dir.is_dir() or not cam_json.exists():
+        return None, None
+    cam_params = json.load(open(cam_json))
+    cameras, masks = [], []
+    for p in sorted(masks_dir.glob("*.png.png")):
+        name = p.name[: -len(".png.png")]
+        if name not in cam_params:
+            continue
+        m = np.array(Image.open(p)) / 255.0
+        if m.ndim == 3:
+            m = m[..., 0]
+        cameras.append(camera_from_json_params(cam_params[name],
+                                               h=m.shape[0], w=m.shape[1]))
+        masks.append((m > 0.5).astype(np.float32))
+    if not cameras:
+        return None, None
+    return cameras, masks
 
 
 def post_process(target_root, template_out, cameras=None, garment_masks=None,
@@ -199,15 +254,29 @@ def post_process(target_root, template_out, cameras=None, garment_masks=None,
                            "the fused cloud density")
     verts, faces = largest_component(verts, faces)
 
+    from gaussian_garments_tpu.utils.io import write_obj
+    # same intermediate artifacts as the reference (initialisation_utils.py:
+    # 149-161): poisson.obj = whole scan, segmented.obj = scan + per-vertex
+    # labels (reference bakes labels as vertex colors; OBJ has no portable
+    # color channel, so labels go to a sidecar), parser.obj = the cut mesh
+    write_obj({"vertices": verts, "faces": faces}, target_root / "poisson.obj")
+
     if cameras is not None and garment_masks is not None:
         prob = parse_scan(verts, faces, cameras, garment_masks)
         keep_v = prob > 0.5
+        write_obj({"vertices": verts, "faces": faces},
+                  target_root / "segmented.obj")
+        np.save(target_root / "segmented_labels.npy", keep_v)
         remap = np.cumsum(keep_v) - 1
         keep_f = keep_v[faces].all(axis=1)
         verts, faces = verts[keep_v], remap[faces[keep_f]]
+        if len(faces) == 0:
+            raise RuntimeError("stage-1 segmentation removed every face; "
+                               "check the garment masks / camera poses")
         verts, faces = largest_component(verts, faces)
+        write_obj({"vertices": verts, "faces": faces},
+                  target_root / "parser.obj")
 
     verts, faces = cluster_remesh(verts, faces, remesh_faces)
 
-    from gaussian_garments_tpu.utils.io import write_obj
     write_obj({"vertices": verts, "faces": faces}, Path(template_out) / "template.obj")

@@ -36,6 +36,107 @@ def _run_s2(argv):
         sys.argv = old
 
 
+def _uv_sphere(n_theta=24, n_phi=48, radius=0.5):
+    """Closed UV sphere (good for screened Poisson)."""
+    verts = [(0, 0, radius), (0, 0, -radius)]
+    for i in range(1, n_theta):
+        th = np.pi * i / n_theta
+        for j in range(n_phi):
+            ph = 2 * np.pi * j / n_phi
+            verts.append((radius * np.sin(th) * np.cos(ph),
+                          radius * np.sin(th) * np.sin(ph),
+                          radius * np.cos(th)))
+    verts = np.asarray(verts, np.float32)
+    faces = []
+    ring = lambda i, j: 2 + (i - 1) * n_phi + (j % n_phi)
+    for j in range(n_phi):
+        faces.append((0, ring(1, j), ring(1, j + 1)))
+        faces.append((1, ring(n_theta - 1, j + 1), ring(n_theta - 1, j)))
+    for i in range(1, n_theta - 1):
+        for j in range(n_phi):
+            a, b = ring(i, j), ring(i, j + 1)
+            c, d = ring(i + 1, j), ring(i + 1, j + 1)
+            faces.append((a, c, b))
+            faces.append((b, c, d))
+    return verts, np.asarray(faces, np.int64)
+
+
+class TestS1Driver:
+    def test_s1_segments_garment(self, tmp_path):
+        """Drive the real s1 CLI (COLMAP skipped; fused.ply planted) on a
+        sphere whose TOP half is the 'garment' per the masks: the emitted
+        template must contain only top-half geometry — the reference always
+        rasterize-and-votes the scan against the garment masks and cuts it
+        (utils/initialisation_utils.py:152-156, utils/parse_scan.py:53-119)."""
+        import jax.numpy as jnp
+        import s1_initialisation
+        from gaussian_garments_tpu.config import DEFAULTS
+        from gaussian_garments_tpu.data.synthetic import make_camera_ring
+        from gaussian_garments_tpu.ops.mesh_raster import rasterize_mesh
+        from gaussian_garments_tpu.utils.io import save_image, store_ply
+
+        data_root, out_root = tmp_path / "data", tmp_path / "out"
+        DEFAULTS.data_root, DEFAULTS.output_root = str(data_root), str(out_root)
+        DEFAULTS.aux_root = str(tmp_path / "aux")
+
+        verts, faces = _uv_sphere()
+        top_faces = verts[faces].mean(1)[:, 2] > 0.0
+        cams = make_camera_ring(3, fx=100.0, width=64, height_px=64)
+        seq = data_root / "subj" / "seq1"
+        cam_json = {}
+        for k, cam in enumerate(cams):
+            name = f"Cam{k:03d}"
+            intr = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+            extr = np.concatenate([cam.R.T, np.asarray(cam.T)[:, None]], axis=1)
+            cam_json[name] = {"intrinsics": intr.tolist(),
+                              "extrinsics": extr.tolist(), "ids": k}
+            p2f, _ = rasterize_mesh(
+                jnp.asarray(verts), jnp.asarray(faces.astype(np.int32)),
+                cam.world_view_transform, cam.full_proj_transform,
+                image_width=64, image_height=64)
+            p2f = np.asarray(p2f)
+            fg = (p2f >= 0).astype(np.float32)
+            gm = np.zeros_like(fg)
+            gm[p2f >= 0] = top_faces[p2f[p2f >= 0]].astype(np.float32)
+            save_image(seq / name / "rgb_images" / "00000.png",
+                       np.stack([fg * 0.5] * 3, -1))
+            save_image(seq / name / "garment_masks" / "00000.png", gm)
+            save_image(seq / name / "foreground_masks" / "00000.png", fg)
+        with open(seq / "cameras.json", "w") as f:
+            json.dump(cam_json, f)
+
+        # plant the dense cloud COLMAP would have fused (sphere surface
+        # samples, non-green colors)
+        target = out_root / "subj" / DEFAULTS.stage1
+        target.mkdir(parents=True)
+        dense_v, dense_f = _uv_sphere(n_theta=48, n_phi=96)
+        cloud = np.concatenate([dense_v, dense_v[dense_f].mean(1)])
+        store_ply(target / "fused.ply", cloud,
+                  np.full_like(cloud, 128.0))
+
+        old = sys.argv
+        sys.argv = ["s1_initialisation.py", "-s", "subj", "-q", "seq1",
+                    "--skip_colmap", "--grid_res", "64",
+                    "--remesh_faces", "500"]
+        try:
+            s1_initialisation.main()
+        finally:
+            sys.argv = old
+
+        for name in ("poisson.obj", "segmented.obj", "parser.obj",
+                     "template.obj", "point_cloud.ply"):
+            assert (target / name).exists(), name
+        from gaussian_garments_tpu.utils.io import read_obj
+        tmpl = read_obj(target / "template.obj")
+        # template = top hemisphere only (tolerance: one surface-nets cell)
+        assert len(tmpl["faces"]) > 0
+        assert tmpl["vertices"][:, 2].min() > -0.1
+        assert tmpl["vertices"][:, 2].max() > 0.3
+        # the unsegmented poisson scan spans the WHOLE sphere
+        scan = read_obj(target / "poisson.obj")
+        assert scan["vertices"][:, 2].min() < -0.3
+
+
 class TestS2Driver:
     def test_template_mode_artifacts(self, dataset):
         root, meta = dataset
