@@ -124,6 +124,14 @@ class Scene:
         bv2, bf2 = load_body_without_hands(self.dataloader.smplx_list[t], self.hand_list)
         return MM.init_body(mesh, bv2, bf2, nn)
 
+    def body_for_frame(self, t: int):
+        """(body_verts, body_faces) of frame t for debug rendering (the
+        reference saver composites the body into the aitviewer column,
+        s2_registration.py:110); None when the dataset has no smplx."""
+        if not self.dataloader.smplx_list:
+            return None
+        return load_body_without_hands(self.dataloader.smplx_list[t], self.hand_list)
+
     def warm_start(self, mesh: MM.MeshState, t: int) -> MM.MeshState:
         """Linear motion extrapolation + momentum rest-shape update
         (scene/scene.py:132-141)."""

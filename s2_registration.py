@@ -42,7 +42,7 @@ def main():
     from gaussian_garments_tpu.scene import CrossScene, Scene
     from gaussian_garments_tpu.training import s2 as S2
     from gaussian_garments_tpu.utils.general import get_expon_lr_func
-    from gaussian_garments_tpu.utils.io import read_obj, fetch_ply, store_ply
+    from gaussian_garments_tpu.utils.io import read_obj, fetch_ply, store_ply, write_obj
 
     parser = ArgumentParser(description="Training script parameters")
     lp = ModelParams(parser)
@@ -347,17 +347,29 @@ def main():
                             print(f"[frame {t}] plateau at iter {it}; early stop")
                             break
 
-        # save artifacts
+        # save artifacts: template mode writes Template/template.obj +
+        # template_render.png; sequence mode meshes/frame_%05d.obj +
+        # renders/%05d.png (reference saver, s2_registration.py:88-96,117-119)
         frames = MG.compute_face_frames(state.mesh.v, state.mesh.f)
         scene.save(t, state.params, state.aux, np.asarray(state.binding), frames,
                    template=args.is_template)
+        if args.is_template:
+            template_dir = Path(args.subject_out) / DEFAULTS.stage2 / "Template"
+            os.makedirs(template_dir, exist_ok=True)
+            out_mesh = dict(tem)
+            out_mesh["vertices"] = np.asarray(state.mesh.v)
+            write_obj(out_mesh, template_dir / "template.obj")
+            panel_path = template_dir / "template_render.png"
+        else:
+            panel_path = stage2_path / "renders" / f"{t:05d}.png"
         scene.save_mesh(t, tem, np.asarray(state.mesh.v))
 
-        # debug render panel: GT | penalized mask | render | abs-diff
-        # (reference saver, s2_registration.py:98-122)
+        # debug render panel: GT | penalized mask | render | abs-diff |
+        # shaded mesh+body (reference saver, s2_registration.py:98-122; the
+        # mesh column is its aitviewer composite :110-113)
         from gaussian_garments_tpu.renderer import SplatBundle, render as render_one
         from gaussian_garments_tpu.models import gaussian as GM
-        from gaussian_garments_tpu.utils.logging import debug_panel
+        from gaussian_garments_tpu.utils.logging import debug_panel, shaded_mesh_image
         cam0 = train_cams[0]
         bundle = SplatBundle(
             means3d=MG.world_xyz(state.params, state.binding, frames),
@@ -366,9 +378,14 @@ def main():
             rotations=MG.world_rotation(state.params, state.binding, frames),
             shs=GM.get_features(state.params), active_sh_degree=0)
         out_img = render_one(cam0, bundle, bg_color, config=cfg)["render"]
+        body_vf = scene.body_for_frame(t)
+        mesh_img = shaded_mesh_image(
+            np.asarray(state.mesh.v), np.asarray(state.mesh.f), cam0,
+            body_v=body_vf[0] if body_vf else None,
+            body_f=body_vf[1] if body_vf else None)
         debug_panel(np.asarray(cam0.original_image), np.asarray(cam0.gt_alpha_mask),
-                    np.asarray(out_img),
-                    path=str(stage2_path / "renders" / f"{t:05d}.png"))
+                    np.asarray(out_img), mesh_render=mesh_img,
+                    path=str(panel_path))
 
         # quality parity: PSNR/SSIM on the llffhold eval split (and a train
         # probe) at the save point — BASELINE.md's ≤0.1 dB target needs

@@ -154,6 +154,13 @@ class TestS2Driver:
         assert (out / "seq1" / "meshes" / "frame_00000.obj").exists()
         assert (out / "seq1" / "cameras.json").exists()
         assert (out / "seq1" / "input.ply").exists()
+        # reference template-mode artifact names (s2_registration.py:88-90,
+        # 117-119) + the 5-column GT|mask|render|diff|mesh panel
+        assert (tmpl / "template.obj").exists()
+        from PIL import Image
+        panel = np.array(Image.open(tmpl / "template_render.png"))
+        assert panel.shape == (64, 64 * 5, 3)
+        assert len(np.unique(panel)) > 2  # not saturated to {0,255}
 
     def test_sequence_mode_tracks_frames(self, dataset):
         root, meta = dataset
@@ -168,6 +175,9 @@ class TestS2Driver:
         for t in range(2):
             assert (out / "meshes" / f"frame_{t:05d}.obj").exists()
             assert (out / "point_cloud" / f"frame_{t:05d}" / "point_cloud.ply").exists()
+            from PIL import Image
+            panel = np.array(Image.open(out / "renders" / f"{t:05d}.png"))
+            assert panel.shape == (64, 64 * 5, 3)
 
 
 class TestS3AndInferenceDrivers:
