@@ -6,9 +6,8 @@ phase 1) → cloth energies → backward → (densify/prune, opacity reset) → 
 
 TPU redesign:
 - the whole iteration is ONE jitted function per phase (template phase 1 =
-  splats+vertices, template phase 2 / sequence = vertices only); phase
-  switching selects between compiled functions instead of toggling
-  ``requires_grad``;
+  splats only, template phase 2 / sequence = vertices only); phase switching
+  selects between compiled functions instead of toggling ``requires_grad``;
 - instead of 1 random camera per iteration (``s2_registration.py:241-243``),
   each step renders a **batch of k cameras** — sharded over the device mesh's
   "data" axis with psum gradient reduction when a mesh is given (SURVEY.md
@@ -138,9 +137,14 @@ def _s2_losses(
         loss_dict["xyz"] = jax.vmap(lambda v: _masked_mean(xyz_excess, v))(vis).mean() * opt.lambda_xyz
         scale_excess = _safe_norm(jax.nn.relu(jnp.exp(params.scaling) - opt.threshold_scale), axis=1)
         loss_dict["scale"] = jax.vmap(lambda v: _masked_mean(scale_excess, v))(vis).mean() * opt.lambda_scale
-
-    energy_use_body = use_body and state.mesh.has_body
-    loss_dict.update(MM.get_energy_loss(mesh, opt, energy_use_body))
+    else:
+        # cloth energies are gated on the mesh being optimized — the
+        # reference adds them only when mesh.v.requires_grad
+        # (s2_registration.py:264-267), and template phase 1 creates mesh.v
+        # with requires_grad=False (scene/mesh_model.py:13), so phase 1 is
+        # photometric-only on splats. PARITY.md "template phase gating".
+        energy_use_body = use_body and state.mesh.has_body
+        loss_dict.update(MM.get_energy_loss(mesh, opt, energy_use_body))
 
     total = jnp.zeros(())
     for v in loss_dict.values():
@@ -162,10 +166,14 @@ def make_s2_step(
 
     step(state, cams, bg, xyz_lr, vert_lr) -> (state, loss_dict, metrics)
 
-    - template_p1: optimizes all splat params + vertices (training_setup
-      is_ff=True, mesh_gaussian_model.py:352-364) + densification stats.
-    - template_p2: splats frozen, vertices only (s2_registration.py:217-225).
-    - seq: vertices only (training_setup is_ff=False :366-371).
+    - template_p1: optimizes SPLATS ONLY + densification stats, no cloth
+      energies (training_setup is_ff=True optimizes splat groups,
+      mesh_gaussian_model.py:352-364; mesh.v starts requires_grad=False,
+      scene/mesh_model.py:13, so the energy add at s2_registration.py:264-267
+      is skipped in phase 1).
+    - template_p2: splats frozen, vertices only + energies
+      (s2_registration.py:217-225).
+    - seq: vertices only + energies (training_setup is_ff=False :366-371).
     """
     assert mode in ("template_p1", "template_p2", "seq")
     optimize_splats = mode == "template_p1"
@@ -181,10 +189,14 @@ def make_s2_step(
         )
 
         if optimize_splats:
+            # reference template phase 1: SPLATS ONLY — mesh.v is created
+            # with requires_grad=False (scene/mesh_model.py:13) and only the
+            # phase-2 switch enables it (s2_registration.py:217-225)
             (loss, (loss_dict, out)), grads = jax.value_and_grad(
-                loss_closure, argnums=(0, 1, 2), has_aux=True
+                loss_closure, argnums=(0, 2), has_aux=True
             )(state.params, state.mesh.v, screen0)
-            g_params, g_verts, g_screen = grads
+            g_params, g_screen = grads
+            g_verts = None
         else:
             (loss, (loss_dict, out)), g_verts = jax.value_and_grad(
                 loss_closure, argnums=1, has_aux=True
@@ -192,7 +204,8 @@ def make_s2_step(
             g_params, g_screen = None, None
 
         if axis_name is not None:
-            g_verts = jax.lax.pmean(g_verts, axis_name)
+            if g_verts is not None:
+                g_verts = jax.lax.pmean(g_verts, axis_name)
             if g_params is not None:
                 g_params = jax.lax.pmean(g_params, axis_name)
             loss_dict = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), loss_dict)
@@ -228,12 +241,12 @@ def make_s2_step(
             )
             new_state = new_state.replace(params=new_params, splat_adam=new_adam, aux=new_aux)
 
-        new_v, new_vert_adam = tensor_adam_step(state.mesh.v, g_verts, state.vert_adam, vert_lr)
-        new_state = new_state.replace(
-            mesh=new_state.mesh.replace(v=new_v),
-            vert_adam=new_vert_adam,
-            iteration=state.iteration + 1,
-        )
+        if g_verts is not None:
+            new_v, new_vert_adam = tensor_adam_step(
+                state.mesh.v, g_verts, state.vert_adam, vert_lr)
+            new_state = new_state.replace(
+                mesh=new_state.mesh.replace(v=new_v), vert_adam=new_vert_adam)
+        new_state = new_state.replace(iteration=state.iteration + 1)
 
         metrics = {
             "radii_max": out["radii"].max().astype(jnp.float32),

@@ -50,6 +50,23 @@ class TestTemplateStep:
         assert np.isfinite(float(m["loss"]))
         assert float(ld["img"]) < 0.5 * float(ld0["img"])
 
+    def test_phase1_splats_only_no_energies(self, scene):
+        """Reference template phase 1 optimizes SPLATS ONLY and applies no
+        cloth energies: mesh.v is created requires_grad=False
+        (scene/mesh_model.py:13), the phase-2 switch enables it
+        (s2_registration.py:217-225), and the energy add is gated on
+        mesh.v.requires_grad (:264-267). PARITY.md 'template phase gating'."""
+        state, counter, cams, verts, faces = _init_state(scene, perturb=0.01)
+        step = S2.make_s2_step(_opt(), mode="template_p1", use_body=False, raster_cfg=CFG)
+        batch = BatchedCameras.from_cameras(cams)
+        v0 = state.mesh.v
+        p0 = state.params
+        state, ld, _ = step(state, batch, jnp.zeros(3), 1.6e-3, 1.6e-3)
+        np.testing.assert_array_equal(np.asarray(state.mesh.v), np.asarray(v0))
+        for k in ("bending", "stretching", "collision", "virtual_edge"):
+            assert k not in ld
+        assert float(jnp.abs(state.params.xyz - p0.xyz).max()) > 0
+
     def test_phase2_only_moves_vertices(self, scene):
         state, counter, cams, verts, faces = _init_state(scene, perturb=0.01)
         step = S2.make_s2_step(_opt(), mode="template_p2", use_body=False, raster_cfg=CFG)
