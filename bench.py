@@ -41,8 +41,8 @@ def build_garment_splats(n, rng):
     return means, scales, rots, opac, shs
 
 
-def _measure(backend: str) -> float:
-    """Runs in the child process: returns ms/frame."""
+def _measure(backend: str) -> "tuple[float, float]":
+    """Runs in the child process: returns (fwd ms/frame, fwd+bwd ms)."""
     import jax
     import jax.numpy as jnp
 
@@ -61,11 +61,40 @@ def _measure(backend: str) -> float:
         shs=jnp.asarray(shs), active_sh_degree=0,
     )
     cfg = RasterConfig(backend=backend)
+    if backend == "pallas":
+        # autosize the pair budget exactly like the production drivers do
+        # (count_pairs probe + half-octave bucket; MEASUREMENTS.md
+        # "pair_budget autosizing"). A static render bench needs no
+        # densification headroom — 1.1× absorbs probe/rect rounding only.
+        from gaussian_garments_tpu.ops.pallas_tiles import (
+            TILE_H, TILE_W, budget_bucket, count_pairs)
+        from gaussian_garments_tpu.ops.projection import project_gaussians
+
+        proj = project_gaussians(
+            bundle.means3d, cam.world_view_transform, cam.full_proj_transform,
+            cam.camera_center, image_width=WIDTH, image_height=HEIGHT,
+            tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, scales=bundle.scales,
+            rotations=bundle.rotations, shs=bundle.shs,
+            opacities=bundle.opacity[:, 0], sh_degree=0)
+        npairs = int(count_pairs(proj, tiles_x=-(-WIDTH // TILE_W),
+                                 tiles_y=-(-HEIGHT // TILE_H),
+                                 max_tiles_side=cfg.max_tiles_side))
+        cfg = RasterConfig(backend=backend,
+                           pair_budget=budget_bucket(npairs, headroom=1.1))
+        print(f"[bench] {npairs} pairs -> budget {cfg.pair_budget}",
+              file=sys.stderr)
 
     @jax.jit
     def forward(b):
         out = render(cam, b, jnp.zeros(3), config=cfg)
         return out["render"], out["alpha"]
+
+    @jax.jit
+    def fwd_bwd(b):
+        def loss(bb):
+            out = render(cam, bb, jnp.zeros(3), config=cfg)
+            return out["render"].sum() + out["alpha"].sum()
+        return jax.grad(lambda bb: loss(bb))(b).means3d.sum()
 
     img, alpha = forward(bundle)
     jax.block_until_ready(img)
@@ -74,7 +103,17 @@ def _measure(backend: str) -> float:
     for _ in range(iters):
         img, alpha = forward(bundle)
     jax.block_until_ready(img)
-    return (time.perf_counter() - t0) / iters * 1000.0
+    fwd_ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    g = fwd_bwd(bundle)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        g = fwd_bwd(bundle)
+    jax.block_until_ready(g)
+    float(np.asarray(g))
+    bwd_ms = (time.perf_counter() - t0) / 10 * 1000.0
+    return fwd_ms, bwd_ms
 
 
 def main():
@@ -82,11 +121,11 @@ def main():
     # re-use compiles instead of paying ~30 s each again
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        ms = _measure(sys.argv[2])
-        print(f"GG_BENCH_RESULT {ms}")
+        ms, fb_ms = _measure(sys.argv[2])
+        print(f"GG_BENCH_RESULT {ms} {fb_ms}")
         return
 
-    ms = None
+    ms = fb_ms = None
     for backend in ("pallas", "pallas", "pallas", "tiled"):
         try:
             r = subprocess.run(
@@ -95,7 +134,9 @@ def main():
             )
             for line in r.stdout.splitlines():
                 if line.startswith("GG_BENCH_RESULT"):
-                    ms = float(line.split()[1])
+                    parts = line.split()
+                    ms = float(parts[1])
+                    fb_ms = float(parts[2]) if len(parts) > 2 else None
                     break
         except subprocess.TimeoutExpired:
             print(f"[bench] {backend} attempt timed out (tunnel wedge); retrying",
@@ -112,6 +153,7 @@ def main():
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(ASSUMED_BASELINE_MS / ms, 4),
+        "fwd_bwd_ms": round(fb_ms, 3) if fb_ms is not None else None,
         "baseline_note": f"denominator is an ASSUMED {ASSUMED_BASELINE_MS:g} ms "
                          "CUDA forward (the reference publishes no numbers; "
                          "BASELINE.md) — read `value` as the ground truth",

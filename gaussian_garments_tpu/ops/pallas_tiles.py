@@ -8,12 +8,12 @@ this kernel walks each tile's exact pair segment (work ∝ Σ pairs, like the
 CUDA kernel).
 
 Design (vector registers are 8 sublanes × 128 lanes):
-- **pixels live on sublanes** (one 16×16 tile = 256 sublanes) and **pairs on
-  lanes** (CHUNK=128 splats per step), so the per-step working set is
-  (256, 128) f32 — perfectly tiled vregs;
+- **pixels live on sublanes** (one 16×32 tile = 512 sublanes) and **pairs on
+  lanes** (SUB=128 splats per prefix sub-block), so the per-step working set
+  is (PIX, 128) f32 — perfectly tiled vregs;
 - pair features are gathered once in XLA into a transposed ``(16, NP)`` array
   in (tile, depth)-sorted **pair space** (no per-tile alignment padding);
-- the grid is a flattened **work-item list**: one item per (tile, 128-pair
+- the grid is a flattened **work-item list**: one item per (tile, CHUNK-pair
   chunk) overlap. A chunk that spans a tile boundary simply appears as the
   last item of one tile and the first item of the next, with complementary
   lane masks — Mosaic double-buffers the input block DMA and keeps the output
@@ -24,8 +24,8 @@ Design (vector registers are 8 sublanes × 128 lanes):
   as a no-op — MEASUREMENTS.md "Batched-render lessons");
 - the front-to-back transmittance prefix is a strictly-upper-triangular
   (128×128) matmul on the MXU (parallel prefix instead of CUDA's serial loop);
-- color/depth accumulate as one (4×128)@(256×128)ᵀ MXU matmul per step into a
-  CHANNEL-MAJOR (8, 256) output tile — a (256, 8) tile would pad its 8-wide
+- color/depth accumulate as one (4×128)@(PIX×128)ᵀ MXU matmul per step into a
+  CHANNEL-MAJOR (8, PIX) output tile — a (PIX, 8) tile would pad its 8-wide
   minor dim to 128 lanes in HBM, 16×-inflating the kernel's writes and every
   downstream pass (mask, untile, cotangent assembly, backward reads);
 - item-granular early exit once every pixel saturates (T < 1e-4), mirroring
@@ -71,8 +71,14 @@ ALPHA_EPS = 1.0 / 255.0
 T_EPS = 1e-4
 LOG_T_EPS = float(np.log(1e-4))
 ALPHA_MAX = 0.99
-TILE = 16
-PIX = TILE * TILE  # 256
+TILE_W = 16        # pixel-x per tile (lane-aligned)
+TILE_H = 32        # pixel-y per tile: 16x32 tiles generate ~0.66x the
+                   # (tile,splat) pairs of the CUDA-canonical 16x16 at bench
+                   # scale, shrinking EVERY pair-space cost (binning sort,
+                   # feature gather, both kernels' item counts, the backward
+                   # pair-grad segment_sum) for ~1.33x per-pair pixel math —
+                   # measured win, MEASUREMENTS.md "tile shape A/B"
+PIX = TILE_W * TILE_H  # 512 pixels on sublanes
 FDIM = 16
 CHUNK = 256        # pairs per work item (multiple of SUB; 512 measured
                    # SLOWER — 39.2 vs 36.1 ms at bench: the halved grid-step
@@ -145,10 +151,10 @@ def _tile_rects(proj: ProjectedGaussians, *, tiles_x: int, tiles_y: int):
     ex = jnp.minimum(jnp.where(jnp.isfinite(ex), ex, r), r)
     ey = jnp.minimum(jnp.where(jnp.isfinite(ey), ey, r), r)
 
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - ex) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ey) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + ex + TILE - 1) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ey + TILE - 1) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - ex) / TILE_W), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ey) / TILE_H), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + ex + TILE_W - 1) / TILE_W) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ey + TILE_H - 1) / TILE_H) + 1, 0, tiles_y).astype(jnp.int32)
 
     alive = (radii > 0) & (proj.opacity >= ALPHA_EPS)
     return x0, y0, x1, y1, alive
@@ -460,11 +466,11 @@ def _composite_kernel(
     # and log T_final = 0 already); the input DMA still streams, pipelined
     @pl.when(count > 0)
     def _():
-        ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
-        oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
+        ox = (jax.lax.rem(tile, tiles_x) * TILE_W).astype(jnp.float32)
+        oy = (jax.lax.div(tile, tiles_x) * TILE_H).astype(jnp.float32)
         p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-        px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)      # (256,1)
-        py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+        px = ox + jax.lax.rem(p, TILE_W).astype(jnp.float32)    # (PIX,1)
+        py = oy + jax.lax.div(p, TILE_W).astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
 
         f = chunk_in[:]                                     # (16,CHUNK)
@@ -579,16 +585,16 @@ def _untile(flat: jnp.ndarray, tiles_x: int, tiles_y: int, h: int, w: int) -> jn
     Channel-major tiles keep every reshape/transpose buffer's minor dim a
     multiple of the 128-lane vreg width (a (…,C) minor dim pads C→128)."""
     c = flat.shape[1]
-    x = flat.reshape(tiles_y, tiles_x, c, TILE, TILE)
-    x = x.transpose(2, 0, 3, 1, 4).reshape(c, tiles_y * TILE, tiles_x * TILE)
+    x = flat.reshape(tiles_y, tiles_x, c, TILE_H, TILE_W)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(c, tiles_y * TILE_H, tiles_x * TILE_W)
     return x[:, :h, :w]
 
 
 def _tile_img(img: jnp.ndarray, tiles_x: int, tiles_y: int) -> jnp.ndarray:
     """(C, H, W) -> (T, C, 256): inverse of _untile (pads to tile multiples)."""
     c, h, w = img.shape
-    x = jnp.pad(img, ((0, 0), (0, tiles_y * TILE - h), (0, tiles_x * TILE - w)))
-    x = x.reshape(c, tiles_y, TILE, tiles_x, TILE)
+    x = jnp.pad(img, ((0, 0), (0, tiles_y * TILE_H - h), (0, tiles_x * TILE_W - w)))
+    x = x.reshape(c, tiles_y, TILE_H, tiles_x, TILE_W)
     return x.transpose(1, 3, 0, 2, 4).reshape(tiles_y * tiles_x, c, PIX)
 
 
@@ -652,11 +658,11 @@ def _backward_kernel(
 def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
                    t_ref, s_ref, *, mxu_bf16: bool = False,
                    feats_packed: bool = False):
-    ox = (jax.lax.rem(tile, tiles_x) * TILE).astype(jnp.float32)
-    oy = (jax.lax.div(tile, tiles_x) * TILE).astype(jnp.float32)
+    ox = (jax.lax.rem(tile, tiles_x) * TILE_W).astype(jnp.float32)
+    oy = (jax.lax.div(tile, tiles_x) * TILE_H).astype(jnp.float32)
     p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = ox + jax.lax.rem(p, TILE).astype(jnp.float32)
-    py = oy + jax.lax.div(p, TILE).astype(jnp.float32)
+    px = ox + jax.lax.rem(p, TILE_W).astype(jnp.float32)
+    py = oy + jax.lax.div(p, TILE_W).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
 
     f = chunk_in[:]
@@ -986,8 +992,8 @@ def _flat_images(out, bg, *, tiles_x, tiles_y, n_cams, image_height,
 
 def _forward_flat(projs, bg, *, image_height, image_width, max_tiles_side,
                   pair_budget, interpret, mxu_bf16=False, feats_packed=None):
-    tiles_x = -(-image_width // TILE)
-    tiles_y = -(-image_height // TILE)
+    tiles_x = -(-image_width // TILE_W)
+    tiles_y = -(-image_height // TILE_H)
     n_cams = projs.means2d.shape[0]
     flat = _pack_and_flatten(projs, tiles_x=tiles_x, tiles_y=tiles_y,
                              max_tiles_side=max_tiles_side,
@@ -1051,8 +1057,8 @@ def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
     flat, bg, t_final, alpha_img, n = res
     g_img, g_depth, g_alpha, _, _ = g   # int diagnostics carry float0 cotangents
 
-    tiles_x = -(-image_width // TILE)
-    tiles_y = -(-image_height // TILE)
+    tiles_x = -(-image_width // TILE_W)
+    tiles_y = -(-image_height // TILE_H)
     num_tiles = tiles_x * tiles_y
     n_cams = g_img.shape[0]
 

@@ -221,13 +221,13 @@ def count_pairs_batch(
     rect math as ``render_batch``, no sort/render)."""
     import jax
 
-    from gaussian_garments_tpu.ops.pallas_tiles import TILE, count_pairs
+    from gaussian_garments_tpu.ops.pallas_tiles import TILE_H, TILE_W, count_pairs
 
     opac = bundle.opacity.reshape(-1)
     if vis_mask is not None:
         opac = opac * vis_mask.astype(opac.dtype)
-    tiles_x = -(-cams.width // TILE)
-    tiles_y = -(-cams.height // TILE)
+    tiles_x = -(-cams.width // TILE_W)
+    tiles_y = -(-cams.height // TILE_H)
 
     def count_one(wv, fp, cp, tfx, tfy):
         proj = project_gaussians(

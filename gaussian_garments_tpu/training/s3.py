@@ -247,13 +247,13 @@ def make_s3_pair_counter(*, raster_cfg: RasterConfig = RasterConfig(),
     net (local_xyz = splat rest offsets; the net's Δxyz is hinge-bounded, so
     drivers add headroom). At 512² texels the default 2M budget makes every
     pair-space op ~20× larger than the real pair count."""
-    from gaussian_garments_tpu.ops.pallas_tiles import TILE, count_pairs
+    from gaussian_garments_tpu.ops.pallas_tiles import TILE_H, TILE_W, count_pairs
 
     @jax.jit
     def count(state: S3State, bind: AG.AvatarBinding, mesh_f, item: S3Item):
         splats = state.splats
-        tiles_x = -(-item.width // TILE)
-        tiles_y = -(-item.height // TILE)
+        tiles_x = -(-item.width // TILE_W)
+        tiles_y = -(-item.height // TILE_H)
 
         def per_item(mesh_v, wv, fp, cp, tfx, tfy, vis=None):
             frames = MG.compute_face_frames(mesh_v, mesh_f)

@@ -42,7 +42,7 @@ def _measure():
     from gaussian_garments_tpu.models import gaussian as G
     from gaussian_garments_tpu.models import mesh_gaussian as MG
     from gaussian_garments_tpu.models.avatar_net import AvatarNet, apply_shadow
-    from gaussian_garments_tpu.ops.pallas_tiles import TILE, count_pairs
+    from gaussian_garments_tpu.ops.pallas_tiles import TILE_H, TILE_W, count_pairs
     from gaussian_garments_tpu.ops.projection import project_gaussians
     from gaussian_garments_tpu.renderer import RasterConfig
     from gaussian_garments_tpu.ops.pallas_tiles import rasterize_pallas
@@ -79,7 +79,7 @@ def _measure():
                                                jnp.asarray(faces.astype(np.int32))))
     mesh_f = jnp.asarray(faces.astype(np.int32))
     amb_j, nrm_j = jnp.asarray(amb), jnp.asarray(nrm)
-    tiles_x, tiles_y = -(-W // TILE), -(-H // TILE)
+    tiles_x, tiles_y = -(-W // TILE_W), -(-H // TILE_H)
     cfg0 = RasterConfig(backend="pallas")
 
     def project(mesh_v):

@@ -103,7 +103,7 @@ def _measure():
         from gaussian_garments_tpu.ops.projection import project_gaussians
 
         W, H = batch.width, batch.height
-        tiles_x, tiles_y = -(-W // PT.TILE), -(-H // PT.TILE)
+        tiles_x, tiles_y = -(-W // PT.TILE_W), -(-H // PT.TILE_H)
 
         def proj_one(b, wv, fp, cc, tx, ty):
             return project_gaussians(

@@ -64,7 +64,7 @@ def _measure():
         scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
         shs=jnp.asarray(shs), active_sh_degree=0,
     )
-    tiles_x, tiles_y = -(-WIDTH // PT.TILE), -(-HEIGHT // PT.TILE)
+    tiles_x, tiles_y = -(-WIDTH // PT.TILE_W), -(-HEIGHT // PT.TILE_H)
 
     def proj_fn(b):
         return project_gaussians(
@@ -90,10 +90,10 @@ def _measure():
     def cand_fn(p):
         r = p.radii.astype(jnp.float32)
         m = p.means2d
-        x0 = jnp.clip(jnp.floor((m[:, 0] - r) / PT.TILE), 0, tiles_x).astype(jnp.int32)
-        y0 = jnp.clip(jnp.floor((m[:, 1] - r) / PT.TILE), 0, tiles_y).astype(jnp.int32)
-        x1 = jnp.clip(jnp.floor((m[:, 0] + r + PT.TILE - 1) / PT.TILE) + 1, 0, tiles_x).astype(jnp.int32)
-        y1 = jnp.clip(jnp.floor((m[:, 1] + r + PT.TILE - 1) / PT.TILE) + 1, 0, tiles_y).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor((m[:, 0] - r) / PT.TILE_W), 0, tiles_x).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor((m[:, 1] - r) / PT.TILE_H), 0, tiles_y).astype(jnp.int32)
+        x1 = jnp.clip(jnp.floor((m[:, 0] + r + PT.TILE_W - 1) / PT.TILE_W) + 1, 0, tiles_x).astype(jnp.int32)
+        y1 = jnp.clip(jnp.floor((m[:, 1] + r + PT.TILE_H - 1) / PT.TILE_H) + 1, 0, tiles_y).astype(jnp.int32)
         alive = p.radii > 0
         off = jnp.arange(SIDE * SIDE, dtype=jnp.int32)
         tx = x0[:, None] + (off % SIDE)[None, :]

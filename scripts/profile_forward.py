@@ -43,7 +43,7 @@ def _measure():
         scales=jnp.asarray(scales), rotations=jnp.asarray(rots),
         shs=jnp.asarray(shs), active_sh_degree=0,
     )
-    tiles_x, tiles_y = -(-WIDTH // PT.TILE), -(-HEIGHT // PT.TILE)
+    tiles_x, tiles_y = -(-WIDTH // PT.TILE_W), -(-HEIGHT // PT.TILE_H)
     budget = 2_097_152
 
     def _proj(b):

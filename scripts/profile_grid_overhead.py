@@ -57,7 +57,7 @@ def _measure():
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, scales=jnp.asarray(scales),
         rotations=jnp.asarray(rots), shs=jnp.asarray(shs),
         opacities=jnp.asarray(opac).reshape(-1), sh_degree=0)
-    tiles_x, tiles_y = -(-W // PT.TILE), -(-H // PT.TILE)
+    tiles_x, tiles_y = -(-W // PT.TILE_W), -(-H // PT.TILE_H)
     pairs = jax.jit(lambda p: PT.pack_pairs(
         p, tiles_x=tiles_x, tiles_y=tiles_y, max_tiles_side=6,
         pair_budget=2_097_152))(proj)

@@ -49,7 +49,7 @@ def _measure():
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy, scales=jnp.asarray(scales),
         rotations=jnp.asarray(rots), shs=jnp.asarray(shs),
         opacities=jnp.asarray(opac).reshape(-1), sh_degree=0)
-    tiles_x, tiles_y = -(-W // PT.TILE), -(-H // PT.TILE)
+    tiles_x, tiles_y = -(-W // PT.TILE_W), -(-H // PT.TILE_H)
     pairs = jax.jit(lambda p: PT.pack_pairs(
         p, tiles_x=tiles_x, tiles_y=tiles_y, max_tiles_side=6,
         pair_budget=2_097_152))(proj)
@@ -107,11 +107,11 @@ def _measure():
 
         @pl.when(count > 0)
         def _():
-            ox = (jax.lax.rem(tile, tiles_x) * PT.TILE).astype(jnp.float32)
-            oy = (jax.lax.div(tile, tiles_x) * PT.TILE).astype(jnp.float32)
+            ox = (jax.lax.rem(tile, tiles_x) * PT.TILE_W).astype(jnp.float32)
+            oy = (jax.lax.div(tile, tiles_x) * PT.TILE_H).astype(jnp.float32)
             p = jax.lax.broadcasted_iota(jnp.int32, (PT.PIX, 1), 0)
-            px = ox + jax.lax.rem(p, PT.TILE).astype(jnp.float32)
-            py = oy + jax.lax.div(p, PT.TILE).astype(jnp.float32)
+            px = ox + jax.lax.rem(p, PT.TILE_W).astype(jnp.float32)
+            py = oy + jax.lax.div(p, PT.TILE_W).astype(jnp.float32)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, PT.CHUNK), 1)
             f = chunk_in[:]
             pair_idx = chunk * PT.CHUNK + lane

@@ -74,8 +74,8 @@ def main():
         image_width=W, image_height=H, tanfovx=c.tanfovx, tanfovy=c.tanfovy,
         scales=scales, rotations=rots, shs=shs, opacities=opac, sh_degree=3))()
 
-    tiles_x = -(-W // PT.TILE)
-    tiles_y = -(-H // PT.TILE)
+    tiles_x = -(-W // PT.TILE_W)
+    tiles_y = -(-H // PT.TILE_H)
     num_tiles = tiles_x * tiles_y
     side = SIDE
     RANK_BITS, RANK_MASK, CHUNK = PT.RANK_BITS, PT.RANK_MASK, PT.CHUNK

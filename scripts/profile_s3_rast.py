@@ -58,8 +58,8 @@ def main():
     c = cams[0]
     v = jnp.asarray(verts)
     f = jnp.asarray(faces.astype(np.int32))
-    tiles_x = -(-W // PT.TILE)
-    tiles_y = -(-H // PT.TILE)
+    tiles_x = -(-W // PT.TILE_W)
+    tiles_y = -(-H // PT.TILE_H)
     nt = tiles_x * tiles_y
 
     def make_projs(fdc):
