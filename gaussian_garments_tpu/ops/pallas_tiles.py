@@ -28,7 +28,11 @@ Design (vector registers are 8 sublanes × 128 lanes):
   CHANNEL-MAJOR (8, PIX) output tile — a (PIX, 8) tile would pad its 8-wide
   minor dim to 128 lanes in HBM, 16×-inflating the kernel's writes and every
   downstream pass (mask, untile, cotangent assembly, backward reads);
-- item-granular early exit once every pixel saturates (T < 1e-4), mirroring
+- item-granular early exit once every pixel saturates (T < 1e-4) — the
+  forward records each tile's live item count + boundary log T, and the
+  backward's dynamic grid keeps ONLY those live items (dead pairs have
+  exactly zero gradient) while the pair-grad reduction discards unvisited
+  grad blocks — mirroring
   the CUDA per-pixel break (the DMA still streams, fully overlapped).
 
 Gradients: ``rasterize_pallas`` wires a ``jax.custom_vjp`` whose backward is
@@ -476,10 +480,15 @@ def _composite_kernel(
         f = chunk_in[:]                                     # (16,CHUNK)
         logt_in0 = t_ref[:]
 
-        # skip the whole body once every pixel is saturated (the gating makes
-        # the contribution exactly zero) — but the log-transmittance carry
-        # must STILL advance so the backward can reconstruct T from the final
-        # value; the saturated branch advances it without matmuls
+        # skip the whole body once every pixel is saturated: later pairs have
+        # gate=0 (zero contribution AND zero gradient), so the item is pure
+        # overhead. Row 5 then keeps the log-transmittance at the LIVE
+        # boundary (it accumulates Σ log1ma over live pairs only — exactly
+        # the state the backward restarts from) and row 7 keeps the live
+        # item count, which the backward uses to drop dead items from its
+        # grid entirely (the CUDA backward's n_contrib walk-back,
+        # reference cuda_rasterizer/backward.cu via
+        # gaussian_renderer/__init__.py:16's extension)
         @pl.when(jnp.max(logt_in0) >= LOG_T_EPS)
         def _():
             rr = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
@@ -521,25 +530,10 @@ def _composite_kernel(
                     preferred_element_type=jnp.float32)
                 logt_in = logt_in + jnp.sum(log1ma, axis=1, keepdims=True)
             t_ref[:] = logt_in
-
-        @pl.when(jnp.max(logt_in0) < LOG_T_EPS)
-        def _():
-            # saturated: advance the carry only (no prefix/color matmuls)
-            lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            mx, my, ca, cb, cc, op, _ = _unpack_block(f, feats_packed)
-            dx = mx - px
-            dy = my - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            pair_idx = chunk * CHUNK + lane_c
-            valid = (pair_idx >= start) & (pair_idx < start + count)
-            ok = valid & (power <= 0.0) & (alpha >= ALPHA_EPS)
-            log1ma = jnp.log1p(-jnp.where(ok, alpha, 0.0))
-            t_ref[:] = logt_in0 + jnp.sum(log1ma, axis=1, keepdims=True)
-            out_ref[0, 5:6, :] = out_ref[0, 5:6, :] + jax.lax.dot_general(
-                jnp.ones((1, CHUNK), jnp.float32), log1ma,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # live item count (monotone overwrite: the last live item wins);
+            # f32 is exact for any plausible per-tile item count
+            out_ref[0, 7:8, :] = (jnp.zeros((1, PIX), jnp.float32)
+                                  + (k + 1).astype(jnp.float32))
 
 
 def composite_tiles_pallas(
@@ -551,9 +545,11 @@ def composite_tiles_pallas(
     mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """Run the kernel over the work-item list. Returns (T+1, 8, 256): rows 0-2
-    premult color, 3 depth, 4 alpha, 5 log T_final (channel-major — see the
+    premult color, 3 depth, 4 alpha, 5 log T at the live boundary (the
+    backward's restart state), 7 live item count (channel-major — see the
     kernel's out_ref layout note); the last tile is the padding-item guard
-    (all zeros) — callers slice ``[:T]``."""
+    (all zeros) — callers slice ``[:T]``. PROFILE-ONLY single-camera wrapper:
+    production uses the flat path."""
     num_tiles = tiles_x * tiles_y
     w = pairs.chunk_of_item.shape[0]
 
@@ -606,12 +602,12 @@ def _tile_img(img: jnp.ndarray, tiles_x: int, tiles_y: int) -> jnp.ndarray:
 def _backward_kernel(
     # scalar prefetch (all in REVERSED item order)
     rchunk_ref, rtile_ref, rk_ref, first_chunk_visit_ref,
-    starts_ref, counts_ref, n_items_ref, tiles_x_ref,
+    starts_ref, counts_ref, tiles_x_ref,
     # inputs
     chunk_in,           # (16, CHUNK) feature block at rchunk[i]
     cot_in,             # (1, 8, 256) channel-major cotangent block at
                         # rtile[i]: rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
-                        # 5 log T_final (same layout as the forward output)
+                        # 5 log T at the live boundary (the forward's row 5)
     # outputs
     grad_ref,           # (16, CHUNK) pair-gradient block at rchunk[i]
     # scratch
@@ -631,9 +627,9 @@ def _backward_kernel(
 
     cot = cot_in[0]                       # (8, 256) channel-major
 
-    @pl.when(rk == 0)                     # first item of this tile (reverse order)
+    @pl.when(rk == 0)                     # tile's LAST live item (reverse order)
     def _():
-        # log T_final from the forward pass: lane-major (1,256) row 5 →
+        # boundary log T from the forward pass: lane-major (1,256) row 5 →
         # sublane-major (256,1) via an MXU identity matvec (Mosaic has no
         # cheap vector transpose; I·vᵀ is one trivial 256×256×1 matmul)
         t_ref[:] = _transpose_row(cot[5:6, :])
@@ -757,11 +753,14 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
                           tiles_x: int, tiles_y: int,
                           interpret: bool = False,
                           mxu_bf16: bool = False) -> jnp.ndarray:
-    """Run the backward kernel over the REVERSED work-item list.
+    """PROFILE-ONLY single-camera wrapper: runs the backward kernel over the
+    FULL reversed item list (no live filtering — dead items' grads are wrong
+    under the live-boundary row-5 semantics; production uses
+    ``backward_tiles_flat``, whose grid keeps live items only).
 
     cot_tiles: (T, 8, 256) channel-major with rows 0-2 ĝcolor, 3 ĝdepth,
-    4 ĝalpha', 5 log T_final. Returns pair gradients (16, NP+CHUNK) with rows
-    [dmx,dmy,dA,dB,dC,dopacity,dr,dg,db,ddepth, 0...].
+    4 ĝalpha', 5 log T at the live boundary. Returns pair gradients
+    (16, NP+CHUNK) with rows [dmx,dmy,dA,dB,dC,dopacity,dr,dg,db,ddepth, 0...].
     """
     num_tiles = tiles_x * tiles_y
     w = pairs.chunk_of_item.shape[0]
@@ -776,9 +775,9 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
         (rchunk[1:] != rchunk[:-1]).astype(jnp.int32)])
 
     in_specs = [
-        pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+        pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, tx: (0, rc[i]),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, PIX), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
+        pl.BlockSpec((1, 8, PIX), lambda i, rc, rt, rkk, fv, st, cn, tx: (rt[i], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     scratch = [pltpu.VMEM((PIX, 1), jnp.float32), pltpu.VMEM((PIX, 1), jnp.float32)]
@@ -786,11 +785,11 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
                                feats_packed=pairs.feats_t.dtype == jnp.bfloat16)
     out_shape = pairs.feats_t.shape
     out_specs = pl.BlockSpec(
-        (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+        (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, tx: (0, rc[i]),
         memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=7,
         grid=(w,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -802,7 +801,7 @@ def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )(rchunk, rtile, rk, first_visit,
-      pairs.starts, pairs.counts, n_items_of_tile,
+      pairs.starts, pairs.counts,
       jnp.array([tiles_x, num_tiles], jnp.int32), pairs.feats_t, cot_tiles)
 
 
@@ -920,52 +919,69 @@ def composite_tiles_flat(flat: FlatPairs, *, tiles_x: int, tiles_y: int,
     return jnp.where((flat.counts > 0)[:, None, None], out, 0.0)
 
 
-def backward_tiles_flat(flat: FlatPairs, cot_tiles: jnp.ndarray, *,
+def backward_tiles_flat(flat: FlatPairs, cot_tiles: jnp.ndarray,
+                        live_k: jnp.ndarray, *,
                         tiles_x: int, tiles_y: int, n_cams: int,
                         interpret: bool = False,
-                        mxu_bf16: bool = False) -> jnp.ndarray:
-    """Backward kernel over the REVERSED flattened item list (dynamic grid).
+                        mxu_bf16: bool = False):
+    """Backward kernel over the REVERSED, LIVE-FILTERED item list.
 
-    cot_tiles: (C·T+1, 8, 256) channel-major, rows 0-2 ĝcolor, 3 ĝdepth, 4 ĝalpha',
-    5 log T_final. Returns pair gradients (16, C·NB·CHUNK)."""
+    The forward early-exits a tile once every pixel saturates; all later
+    pairs have gate=0 — exactly zero gradient — so the backward's grid keeps
+    only the ``live_k[tile]`` items the forward actually composited (the
+    CUDA backward's per-pixel n_contrib walk-back, at item granularity).
+    A tile's live items are a prefix of its items because log T only
+    decreases. ``cot_tiles``: (C·T+1, 8, 256) channel-major, rows 0-2
+    ĝcolor, 3 ĝdepth, 4 ĝalpha', 5 log T at the live boundary (the forward's
+    row 5). Returns (pair gradients (16, C·NB·CHUNK), visited (C·NB,) bool) —
+    grad blocks no live item visited are UNINITIALIZED; the reduction must
+    drop pairs in unvisited blocks."""
     num_tiles = tiles_x * tiles_y
     cw = flat.chunk_of_item.shape[0]
-    n = flat.n_items
-    # reversal about the dynamic total: reverse position i ↔ forward n−1−i
-    ridx = jnp.clip(n - 1 - jnp.arange(cw, dtype=jnp.int32), 0, cw - 1)
+    pos = jnp.arange(cw, dtype=jnp.int32)
+    live = (flat.k_of_item < live_k[flat.tile_of_item]) & (pos < flat.n_items)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    # compact live items to the front, preserving forward order (stable), so
+    # items that share a boundary chunk stay ADJACENT (the output-block
+    # revisit invariant); then index reversed about the dynamic total
+    order = jnp.argsort(jnp.logical_not(live), stable=True).astype(jnp.int32)
+    ridx = order[jnp.clip(n_live - 1 - pos, 0, cw - 1)]
     rchunk = flat.chunk_of_item[ridx]
     rtile = flat.tile_of_item[ridx]
-    n_items_of_tile = jnp.zeros((n_cams * num_tiles + 1,), jnp.int32).at[
-        flat.tile_of_item].add((jnp.arange(cw) < n).astype(jnp.int32))
-    rk = n_items_of_tile[rtile] - 1 - flat.k_of_item[ridx]
+    # reverse-local index among the tile's LIVE items (prefix of its items)
+    rk = live_k[rtile] - 1 - flat.k_of_item[ridx]
     first_visit = jnp.concatenate([
         jnp.ones((1,), jnp.int32),
         (rchunk[1:] != rchunk[:-1]).astype(jnp.int32)])
+    nb = flat.feats_t.shape[1] // CHUNK
+    visited = jnp.zeros((nb,), jnp.int32).at[flat.chunk_of_item].max(
+        live.astype(jnp.int32)).astype(jnp.bool_)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(jnp.maximum(n, 1),),
+        num_scalar_prefetch=7,
+        grid=(jnp.maximum(n_live, 1),),
         in_specs=[
-            pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+            pl.BlockSpec((FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, tx: (0, rc[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PIX), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (rt[i], 0, 0),
+            pl.BlockSpec((1, 8, PIX), lambda i, rc, rt, rkk, fv, st, cn, tx: (rt[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, ni, tx: (0, rc[i]),
+            (FDIM, CHUNK), lambda i, rc, rt, rkk, fv, st, cn, tx: (0, rc[i]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((PIX, 1), jnp.float32),
                         pltpu.VMEM((PIX, 1), jnp.float32)],
     )
-    return pl.pallas_call(
+    grads = pl.pallas_call(
         functools.partial(_backward_kernel, mxu_bf16=mxu_bf16,
                           feats_packed=flat.feats_t.dtype == jnp.bfloat16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(flat.feats_t.shape, jnp.float32),
         interpret=interpret,
     )(rchunk, rtile, rk, first_visit,
-      flat.starts, flat.counts, n_items_of_tile,
+      flat.starts, flat.counts,
       jnp.array([tiles_x, num_tiles], jnp.int32), flat.feats_t, cot_tiles)
+    return grads, visited
 
 
 def _pack_and_flatten(projs, *, tiles_x, tiles_y, max_tiles_side, pair_budget,
@@ -1042,19 +1058,20 @@ def _flat_fwd(projs, bg, image_height, image_width, max_tiles_side,
         projs, bg, image_height=image_height, image_width=image_width,
         max_tiles_side=max_tiles_side, pair_budget=pair_budget,
         interpret=interpret, mxu_bf16=mxu_bf16, feats_packed=feats_packed)
-    t_final = out[:, 5:6, :]                    # (C·T+1,1,256) bwd residual
+    t_bnd = out[:, 5:6, :]      # (C·T+1,1,256) boundary log T (bwd residual)
+    live_k = out[:, 7, 0].astype(jnp.int32)     # (C·T+1,) live items per tile
     n_clipped = flat.n_clipped
     n_overflow = jnp.maximum(flat.n_valid - pair_budget, 0)
     # keep the flattened pairs as residuals: the backward reuses them instead
     # of re-running the sort/binning (~45 ms at 150K splats)
     return ((image, depth, alpha, n_clipped, n_overflow),
-            (flat, bg, t_final, alpha, projs.means2d.shape[1]))
+            (flat, bg, t_bnd, live_k, alpha, projs.means2d.shape[1]))
 
 
 def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
               interpret, mxu_bf16, feats_packed, res, g):
     """Dedicated Pallas backward over the flattened reversed item list."""
-    flat, bg, t_final, alpha_img, n = res
+    flat, bg, t_bnd, live_k, alpha_img, n = res
     g_img, g_depth, g_alpha, _, _ = g   # int diagnostics carry float0 cotangents
 
     tiles_x = -(-image_width // TILE_W)
@@ -1074,32 +1091,37 @@ def _flat_bwd(image_height, image_width, max_tiles_side, pair_budget,
     # pad+select+maximum chains over the whole output on TPU)
     cot_tiles = jnp.zeros((n_cams * num_tiles + 1, 8, PIX), jnp.float32)
     cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, cot5, (0, 0, 0))
-    cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, t_final, (0, 5, 0))
+    cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, t_bnd, (0, 5, 0))
 
-    pair_grads = backward_tiles_flat(
-        flat, cot_tiles, tiles_x=tiles_x, tiles_y=tiles_y, n_cams=n_cams,
-        interpret=interpret, mxu_bf16=mxu_bf16)
+    pair_grads, visited = backward_tiles_flat(
+        flat, cot_tiles, live_k, tiles_x=tiles_x, tiles_y=tiles_y,
+        n_cams=n_cams, interpret=interpret, mxu_bf16=mxu_bf16)
 
     nbw = flat.feats_t.shape[1] // n_cams
     np_real = flat.sorted_rank.shape[1]
     pg = pair_grads.reshape(FDIM, n_cams, nbw)
     counts_cam = flat.counts[:-1].reshape(n_cams, num_tiles)
+    # per-pair visited flag = its CHUNK block's flag, broadcast (free reshape)
+    vis_pair = jnp.repeat(visited, CHUNK).reshape(n_cams, nbw)
 
-    def reduce_cam(pg_c, sorted_rank_c, rank_c, counts_c):
+    def reduce_cam(pg_c, sorted_rank_c, rank_c, counts_c, vis_c):
         data = pg_c[0:10, :np_real].T              # (NP,10)
         total_pairs = jnp.sum(counts_c)
-        # junk pair slots live in never-visited grad blocks → discard segment.
-        # Accumulation happens in depth-rank space; one cheap N-row gather
-        # converts back to splat order (MEASUREMENTS.md "backward reduction
-        # variants": the 35 ms segment_sum is the practical floor on TPU).
-        ids = jnp.where(jnp.arange(np_real) < total_pairs, sorted_rank_c, n)
+        # junk pair slots and pairs in blocks no live backward item visited
+        # (uninitialized grad memory) → discard segment. Accumulation happens
+        # in depth-rank space; one cheap N-row gather converts back to splat
+        # order (MEASUREMENTS.md "backward reduction variants": the pair-space
+        # segment_sum is the practical floor on TPU).
+        ids = jnp.where(vis_c[:np_real] & (jnp.arange(np_real) < total_pairs),
+                        sorted_rank_c, n)
         seg_rank = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
         return jnp.take(seg_rank, rank_c, axis=0)
 
     # unrolled camera loop — like pack_pairs, vmapping the scatter/gather ops
     # here lowers far slower than the unbatched forms
     seg = jnp.stack([
-        reduce_cam(pg[:, c], flat.sorted_rank[c], flat.rank[c], counts_cam[c])
+        reduce_cam(pg[:, c], flat.sorted_rank[c], flat.rank[c], counts_cam[c],
+                   vis_pair[c])
         for c in range(n_cams)])
     return _pack_ct_batch(seg, n, n_cams), d_bg
 

@@ -99,21 +99,24 @@ def main():
         cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, cot5, (0, 0, 0))
         cot_tiles = jax.lax.dynamic_update_slice(
             cot_tiles, out[:, 5:6, :], (0, 5, 0))
-        return flat, cot_tiles
+        live_k = out[:, 7, 0].astype(jnp.int32)
+        return flat, cot_tiles, live_k
 
     def bwdk_of(*a):
-        flat, cot_tiles = cot_of(*a)
-        pg = PT.backward_tiles_flat(flat, cot_tiles, tiles_x=tiles_x,
-                                    tiles_y=tiles_y, n_cams=1)
-        return flat, pg
+        flat, cot_tiles, live_k = cot_of(*a)
+        pg, vis = PT.backward_tiles_flat(flat, cot_tiles, live_k,
+                                         tiles_x=tiles_x, tiles_y=tiles_y,
+                                         n_cams=1)
+        return flat, pg, vis
 
     def segsum_of(*a):
-        flat, pg = bwdk_of(*a)
+        flat, pg, vis = bwdk_of(*a)
         np_real = flat.sorted_rank.shape[1]
         n = N_SPLATS
         data = pg[0:10, :np_real].T
         total_pairs = jnp.sum(flat.counts[:-1])
-        ids = jnp.where(jnp.arange(np_real) < total_pairs,
+        vis_pair = jnp.repeat(vis, PT.CHUNK)[:np_real]
+        ids = jnp.where(vis_pair & (jnp.arange(np_real) < total_pairs),
                         flat.sorted_rank[0], n)
         seg = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
         return jnp.take(seg, flat.rank[0], axis=0)

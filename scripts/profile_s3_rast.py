@@ -100,17 +100,21 @@ def main():
         cot_tiles = jnp.zeros((nt + 1, 8, PT.PIX), jnp.float32)
         cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, out[:, 0:5, :], (0, 0, 0))
         cot_tiles = jax.lax.dynamic_update_slice(cot_tiles, out[:, 5:6, :], (0, 5, 0))
-        pg = PT.backward_tiles_flat(flat, cot_tiles, tiles_x=tiles_x,
-                                    tiles_y=tiles_y, n_cams=1)
-        return flat, pg
+        live_k = out[:, 7, 0].astype(jnp.int32)
+        pg, vis = PT.backward_tiles_flat(flat, cot_tiles, live_k,
+                                         tiles_x=tiles_x, tiles_y=tiles_y,
+                                         n_cams=1)
+        return flat, pg, vis
 
     def reduce_(fdc):
-        flat, pg = bwd_kernel(fdc)
+        flat, pg, vis = bwd_kernel(fdc)
         np_real = flat.sorted_rank.shape[1]
         data = pg.reshape(PT.FDIM, 1, -1)[0:10, 0, :np_real].T
         counts_c = flat.counts[:-1].reshape(1, nt)[0]
         total = jnp.sum(counts_c)
-        ids = jnp.where(jnp.arange(np_real) < total, flat.sorted_rank[0], n)
+        vis_pair = jnp.repeat(vis, PT.CHUNK)[:np_real]
+        ids = jnp.where(vis_pair & (jnp.arange(np_real) < total),
+                        flat.sorted_rank[0], n)
         seg = jax.ops.segment_sum(data, ids, num_segments=n + 1)[:n]
         return jnp.take(seg, flat.rank[0], axis=0)
 
