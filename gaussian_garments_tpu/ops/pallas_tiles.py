@@ -164,15 +164,90 @@ def _tile_rects(proj: ProjectedGaussians, *, tiles_x: int, tiles_y: int):
     return x0, y0, x1, y1, alive
 
 
+# float-safety margin (pixels) on the per-row ellipse spans: never cull a
+# pixel whose alpha crosses ALPHA_EPS exactly at the span boundary
+_SPAN_EPS_PX = 1e-3
+
+
+def _row_spans(proj: ProjectedGaussians, x0, y0, x1, y1, alive, *,
+               tiles_x: int, side: int):
+    """Per-(splat, tile-row) EXACT x-span of the alpha ≥ 1/255 level set.
+
+    The global rect is the bounding box of the opacity-aware ellipse
+    {½dᵀCd ≤ τ}; for anisotropic (surface-aligned) garment splats most of
+    the box's corner tiles never intersect the ellipse. For tile row r with
+    pixel-y strip dy ∈ [l, u], the reachable dx interval is
+    [−max(−dx⁻), max(dx⁺)] where dx±(dy) = (−b·dy ± √D(dy))/a,
+    D(dy) = (b²−ac)dy² + a·(2τ): dx⁺ is concave (D is a downward parabola),
+    so its strip max sits at dy* = −(b/c)·ex clamped into [l, u] (and the
+    mirrored point for dx⁻). This is the SnugBox/SpeedySplat-style exact
+    per-row bound, computed as (N, side) vectorized XLA — culled pairs have
+    alpha < ALPHA_EPS at every pixel of their tile, so the composite (and
+    every gradient) is bit-identical. Returns (row_w, row_o): width and
+    x-offset from x0 per row, both < 16 (nibble-packable; requires
+    side ≤ 8)."""
+    mx, my = proj.means2d[:, 0:1], proj.means2d[:, 1:2]        # (N,1)
+    a, b, c = proj.conic[:, 0:1], proj.conic[:, 1:2], proj.conic[:, 2:3]
+    tau2 = 2.0 * jnp.log(jnp.maximum(proj.opacity[:, None], 1e-12) / ALPHA_EPS)
+    det = a * c - b * b
+    good = (jnp.isfinite(det) & (det > 1e-24) & jnp.isfinite(tau2)
+            & (a > 1e-24) & (c > 1e-24))
+    a_ = jnp.where(good, a, 1.0)
+    c_ = jnp.where(good, c, 1.0)
+    ex = jnp.sqrt(jnp.maximum(tau2 * c_, 0.0) / jnp.maximum(det, 1e-24))
+
+    r_idx = jnp.arange(side, dtype=jnp.int32)[None, :]         # (1, side)
+    ry = y0[:, None] + r_idx                                   # (N, side)
+    in_rect = (ry < y1[:, None]) & (r_idx < side)
+    l = (ry * TILE_H).astype(jnp.float32) - my                 # strip dy range
+    u = l + float(TILE_H - 1)
+
+    def strip_extent(dy_star):
+        dy_c = jnp.clip(dy_star, l, u)
+        d_ = (b * b - a * c) * dy_c * dy_c + a_ * tau2
+        ok = d_ > 0.0                    # |dy*| < ey always, so d_ ≤ 0 means
+        # the whole strip lies outside the ellipse (an edge row the global
+        # rect's rounding let through) → empty row
+        return ok, dy_c, jnp.sqrt(jnp.maximum(d_, 0.0))
+
+    # px − mx ∈ [dx⁻, dx⁺]; strip max of dx⁺ sits at dy = −(b/c)·ex, strip
+    # max of −dx⁻ at the mirrored +(b/c)·ex (both concave)
+    okp, dyp, sqp = strip_extent(-(b / c_) * ex)
+    okn, dyn, sqn = strip_extent((b / c_) * ex)
+    xpos = (-b * dyp + sqp) / a_ + _SPAN_EPS_PX
+    xneg = (b * dyn + sqn) / a_ + _SPAN_EPS_PX
+
+    x_hi = jnp.minimum(x1, x0 + side)[:, None]                 # clipped window
+    rx0 = jnp.clip(jnp.floor((mx - xneg) / TILE_W).astype(jnp.int32),
+                   x0[:, None], x_hi)
+    rx1 = jnp.clip(jnp.floor((mx + xpos) / TILE_W).astype(jnp.int32) + 1,
+                   rx0, x_hi)
+    row_ok = in_rect & (okp & okn | jnp.logical_not(good))
+    # bad-conic splats (good=False) keep the full rect row (matches the
+    # _tile_rects radii fallback); safe selects avoid NaN poisoning
+    w_full = jnp.clip(x1 - x0, 0, side)[:, None]
+    row_w = jnp.where(row_ok,
+                      jnp.where(good, rx1 - rx0, w_full), 0)
+    row_o = jnp.where(row_ok & good, rx0 - x0[:, None], 0)
+    row_w = jnp.where(alive[:, None], row_w, 0)
+    return row_w.astype(jnp.int32), row_o.astype(jnp.int32)
+
+
 def count_pairs(proj: ProjectedGaussians, *, tiles_x: int, tiles_y: int,
                 max_tiles_side: int) -> jnp.ndarray:
-    """Exact (tile, splat) pair count this camera generates — identical rect
-    math to ``pack_pairs``, none of its sort/gather cost. Drivers use it to
-    autosize ``RasterConfig.pair_budget`` to the scene instead of paying the
-    static-shape cost of the 2M default (all pair-space ops — sort, feature
-    gather, backward segment-sum — scale with the budget, not with the real
-    pair count; MEASUREMENTS.md)."""
+    """Exact (tile, splat) pair count this camera generates — identical
+    row-span math to ``pack_pairs``, none of its sort/gather cost. Drivers
+    use it to autosize ``RasterConfig.pair_budget`` to the scene instead of
+    paying the static-shape cost of the 2M default (all pair-space ops —
+    sort, feature gather, backward segment-sum — scale with the budget, not
+    with the real pair count; MEASUREMENTS.md)."""
     x0, y0, x1, y1, alive = _tile_rects(proj, tiles_x=tiles_x, tiles_y=tiles_y)
+    # branch condition MUST mirror pack_pairs' (row-exact only on the compact
+    # path): a mismatch would undercount the budget and truncate pairs
+    if max_tiles_side <= 8 and proj.means2d.shape[0] <= (1 << RANK_BITS):
+        row_w, _ = _row_spans(proj, x0, y0, x1, y1, alive,
+                              tiles_x=tiles_x, side=max_tiles_side)
+        return jnp.sum(row_w).astype(jnp.int32)
     w = jnp.clip(x1 - x0, 0, max_tiles_side)
     h = jnp.clip(y1 - y0, 0, max_tiles_side)
     return jnp.sum(jnp.where(alive, w * h, 0).astype(jnp.int32))
@@ -282,42 +357,87 @@ def pack_pairs(
         # (sorting all N·side² candidate slots costs ~2.6× more at 150K
         # splats / side=6), iterating splats in depth-rank order so that
         # per-pair metadata is a segment-constant broadcast — done with one
-        # N-row delta scatter + one (NP,3) cumsum instead of a 2.1M row
+        # N-row delta scatter + one (NP,·) cumsum instead of a 2.1M row
         # gather (~13 ms, which would eat the whole sort saving;
-        # MEASUREMENTS.md "binning decomposition").
-        # side must fit the 4-bit width field in ``meta``. ----
-        w = jnp.minimum(jnp.maximum(x1 - x0, 0), side)
-        h = jnp.minimum(jnp.maximum(y1 - y0, 0), side)
-        area = jnp.where(alive, w * h, 0)
+        # MEASUREMENTS.md "binning decomposition"). When side ≤ 8 the rect is
+        # refined to EXACT per-tile-row ellipse spans (``_row_spans``) packed
+        # as (offset, width) nibbles in up to two extra broadcast columns —
+        # ~25% fewer pairs at bench scale shrinks every pair-space cost
+        # downstream (sort, gather, kernel grids, backward segment-sum). ----
+        row_exact = side <= 8
+        if row_exact:
+            row_w, row_o = _row_spans(proj, x0, y0, x1, y1, alive,
+                                      tiles_x=tiles_x, side=side)
+            area = jnp.sum(row_w, axis=1)
+            ow = (row_o << 4) | row_w                           # (N, side)
+            packA = jnp.zeros((n,), jnp.int32)
+            packB = jnp.zeros((n,), jnp.int32)
+            for r_ in range(min(side, 4)):
+                packA = packA | (ow[:, r_] << (8 * r_))
+            for r_ in range(4, side):
+                packB = packB | (ow[:, r_] << (8 * (r_ - 4)))
+            row_cols = [packA] + ([packB] if side > 4 else [])
+        else:
+            w = jnp.minimum(jnp.maximum(x1 - x0, 0), side)
+            h = jnp.minimum(jnp.maximum(y1 - y0, 0), side)
+            area = jnp.where(alive, w * h, 0)
+            row_cols = []
         # permute per-splat tables into rank order (cheap N-row gathers)
         area_r = area[order]
-        meta_r = (((y0 * tiles_x + x0) << 8) | (w << 4))[order]
+        meta_r = ((y0 * tiles_x + x0) << 8)[order] if row_exact else \
+            (((y0 * tiles_x + x0) << 8) | (w << 4))[order]
         base_r = (jnp.cumsum(area_r) - area_r).astype(jnp.int32)   # exclusive
         n_valid = base_r[-1] + area_r[-1]
         np_slots = min(pair_budget, n * side * side)
 
         # segment-constant per-pair values via delta scatter + cumsum:
-        # rows = [packed geometry, base offset, rank]; the rank column's
-        # deltas are +1 per splat (generation is rank-major), making rk the
-        # segment index itself
+        # rows = [packed geometry, base offset, rank, packed row spans]; the
+        # rank column's deltas are +1 per splat (generation is rank-major),
+        # making rk the segment index itself
         vals = jnp.stack(
-            [meta_r, base_r, jnp.arange(n, dtype=jnp.int32)], axis=1)  # (N,3)
+            [meta_r, base_r, jnp.arange(n, dtype=jnp.int32)]
+            + [col[order] for col in row_cols], axis=1)         # (N, 3..5)
         delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
-        grid = jnp.zeros((np_slots, 3), jnp.int32).at[base_r].add(
+        grid = jnp.zeros((np_slots, vals.shape[1]), jnp.int32).at[base_r].add(
             delta, mode="drop", indices_are_sorted=True)
-        g = jnp.cumsum(grid, axis=0)                           # (NP, 3)
+        g = jnp.cumsum(grid, axis=0)                           # (NP, 3..5)
         ms, bs, rk = g[:, 0], g[:, 1], g[:, 2]
 
-        # in-rect coords without an integer divide: jy = j // w via a
-        # side-step comparison ladder (w <= side, small constant)
         p_iota = jnp.arange(np_slots, dtype=jnp.int32)
         j = p_iota - bs
-        ws = (ms >> 4) & 0xF
-        jy = jnp.zeros_like(j)
-        for k in range(1, side):
-            jy += (j >= k * ws).astype(jnp.int32)
-        jx = j - jy * ws
-        tile = (ms >> 8) + jy * tiles_x + jx
+        if row_exact:
+            # unpack per-row (offset, width) nibbles; find the pair's row by
+            # a static prefix ladder (rows with width 0 are skipped), then
+            # its in-row column — no integer divide anywhere
+            pa = g[:, 3]
+            pb = g[:, 4] if side > 4 else None
+            w_r = [((pa >> (8 * r_)) if r_ < 4 else (pb >> (8 * (r_ - 4))))
+                   & 0xF for r_ in range(side)]
+            o_r = [((pa >> (8 * r_ + 4)) if r_ < 4
+                    else (pb >> (8 * (r_ - 4) + 4))) & 0xF
+                   for r_ in range(side)]
+            pref = [jnp.zeros_like(j)]
+            for r_ in range(side):
+                pref.append(pref[-1] + w_r[r_])
+            jy = jnp.zeros_like(j)
+            for r_ in range(1, side):
+                jy += (j >= pref[r_]).astype(jnp.int32)
+            row_start = pref[0]
+            row_off = o_r[0]
+            for r_ in range(1, side):
+                sel = jy == r_
+                row_start = jnp.where(sel, pref[r_], row_start)
+                row_off = jnp.where(sel, o_r[r_], row_off)
+            tile = (ms >> 8) + jy * tiles_x + row_off + (j - row_start)
+        else:
+            # in-rect coords without an integer divide: jy = j // w via a
+            # side-step comparison ladder (w <= side, small constant)
+            ws = (ms >> 4) & 0xF
+            jy = jnp.zeros_like(j)
+            for k in range(1, side):
+                jy += (j >= k * ws).astype(jnp.int32)
+            jx = j - jy * ws
+            tile = (ms >> 8) + jy * tiles_x + jx
 
         # junk slots (p >= n_valid) sort to the very end in BOTH tile-major
         # (tile = num_tiles) and rank-major (rank bits = RANK_MASK) order
