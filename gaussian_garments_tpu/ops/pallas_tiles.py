@@ -393,7 +393,10 @@ def pack_pairs(
         # segment-constant per-pair values via delta scatter + cumsum:
         # rows = [packed geometry, base offset, rank, packed row spans]; the
         # rank column's deltas are +1 per splat (generation is rank-major),
-        # making rk the segment index itself
+        # making rk the segment index itself. (jnp.repeat measured FASTER in
+        # isolation — 4.9 vs 10.1 ms at 786K slots — but ~2 ms SLOWER in
+        # context: XLA fuses this cumsum with the per-pair decode below,
+        # which repeat's gather lowering breaks.)
         vals = jnp.stack(
             [meta_r, base_r, jnp.arange(n, dtype=jnp.int32)]
             + [col[order] for col in row_cols], axis=1)         # (N, 3..5)
