@@ -154,6 +154,57 @@ class TestPairCount:
                               max_tiles_side=side)
             assert int(cnt) == int(pk.n_valid), (side, int(cnt), int(pk.n_valid))
 
+    def test_row_spans_cull_only_zero_alpha_tiles(self, rng):
+        """Every (splat, tile) the row-exact generation culls from the
+        bounding rect must have alpha < ALPHA_EPS at ALL the tile's pixels
+        (brute-force check), so composites and gradients are exactly
+        unchanged. Guards the span math (`_row_spans`) directly — the image
+        oracle tests could mask a too-tight span on a low-contribution
+        splat."""
+        from gaussian_garments_tpu.ops.pallas_tiles import (
+            ALPHA_EPS, TILE_H, TILE_W, _row_spans, _tile_rects)
+
+        means, scales, rots, opac, shs, cam = _scene(rng, n=120)
+        proj = _proj(cam, *(jnp.asarray(x) for x in
+                            (means, scales, rots, opac, shs)))
+        tiles_x, tiles_y = -(-W // TILE_W), -(-H // TILE_H)
+        side = 6
+        x0, y0, x1, y1, alive = _tile_rects(proj, tiles_x=tiles_x,
+                                            tiles_y=tiles_y)
+        row_w, row_o = _row_spans(proj, x0, y0, x1, y1, alive,
+                                  tiles_x=tiles_x, side=side)
+        x0, y0, x1, y1 = (np.asarray(v) for v in (x0, y0, x1, y1))
+        row_w, row_o = np.asarray(row_w), np.asarray(row_o)
+        alive = np.asarray(alive)
+        mx, my = np.asarray(proj.means2d).T
+        ca, cb, cc = np.asarray(proj.conic).T
+        op = np.asarray(proj.opacity)
+
+        pxg, pyg = np.meshgrid(np.arange(TILE_W), np.arange(TILE_H))
+        checked_culled = 0
+        for i in range(len(mx)):
+            if not alive[i] or not np.isfinite([mx[i], my[i]]).all():
+                continue
+            for r in range(min(side, y1[i] - y0[i])):
+                ty = y0[i] + r
+                lo = x0[i] + row_o[i, r]
+                hi = lo + row_w[i, r]
+                assert lo >= x0[i] and hi <= min(x1[i], x0[i] + side)
+                for tx in range(x0[i], min(x1[i], x0[i] + side)):
+                    if lo <= tx < hi:
+                        continue                      # kept pair
+                    px = tx * TILE_W + pxg
+                    py = ty * TILE_H + pyg
+                    dx, dy = mx[i] - px, my[i] - py
+                    power = (-0.5 * (ca[i] * dx * dx + cc[i] * dy * dy)
+                             - cb[i] * dx * dy)
+                    alpha = np.minimum(0.99, op[i] * np.exp(power))
+                    alpha = np.where(power > 0, 0.0, alpha)
+                    assert alpha.max() < ALPHA_EPS, (
+                        i, r, tx, float(alpha.max()))
+                    checked_culled += 1
+        assert checked_culled > 50  # the scene must actually exercise culls
+
 
 class TestPallasBatched:
     def test_multicam_matches_per_camera_oracle(self, rng):
