@@ -316,6 +316,44 @@ def _transpose_row(row: jnp.ndarray) -> jnp.ndarray:
                                preferred_element_type=jnp.float32)
 
 
+def _feats_table(proj: ProjectedGaussians, feats_packed: bool) -> jnp.ndarray:
+    """(N, 16) per-splat feature table in SPLAT order (unpermuted).
+
+    f32 path: [mx, my, ca, cb, cc, opac, r, g, b, depth, 0×6].
+    packed path (beyond the gather working-set cliff, FEATS_PACK_BYTES):
+    bf16 hi/lo pairs for means/conic/depth, single bf16 opacity/rgb —
+    halves the gather bytes at ≤7.6e-6 rel error (MEASUREMENTS.md)."""
+    n = proj.means2d.shape[0]
+    if feats_packed:
+        def sp(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+        mxh, mxl = sp(proj.means2d[:, 0])
+        myh, myl = sp(proj.means2d[:, 1])
+        cah, cal = sp(proj.conic[:, 0])
+        cbh, cbl = sp(proj.conic[:, 1])
+        cch, ccl = sp(proj.conic[:, 2])
+        dh, dl = sp(proj.depth)
+        return jnp.stack([
+            mxh, mxl, myh, myl, cah, cal, cbh, cbl, cch, ccl,
+            proj.opacity.astype(jnp.bfloat16),
+            proj.rgb[:, 0].astype(jnp.bfloat16),
+            proj.rgb[:, 1].astype(jnp.bfloat16),
+            proj.rgb[:, 2].astype(jnp.bfloat16),
+            dh, dl,
+        ], axis=1)                                      # (N, 16) bf16
+    zrow = jnp.zeros((n,))
+    return jnp.stack([
+        proj.means2d[:, 0], proj.means2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.opacity,
+        proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
+        proj.depth,
+        zrow, zrow, zrow, zrow, zrow, zrow,
+    ], axis=1)                                          # (N, 16) f32
+
+
 def pack_pairs(
     proj: ProjectedGaussians,
     *,
@@ -345,6 +383,8 @@ def pack_pairs(
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
     side = max_tiles_side
+    if feats_packed is None:
+        feats_packed = n * FDIM * 4 > FEATS_PACK_BYTES
 
     x0, y0, x1, y1, alive = _tile_rects(proj, tiles_x=tiles_x, tiles_y=tiles_y)
     n_clipped = jnp.sum((alive & (((x1 - x0) > side) | ((y1 - y0) > side))).astype(jnp.int32))
@@ -361,31 +401,77 @@ def pack_pairs(
         # gather (~13 ms, which would eat the whole sort saving;
         # MEASUREMENTS.md "binning decomposition"). When side ≤ 8 the rect is
         # refined to EXACT per-tile-row ellipse spans (``_row_spans``) packed
-        # as (offset, width) nibbles in up to two extra broadcast columns —
-        # ~25% fewer pairs at bench scale shrinks every pair-space cost
-        # downstream (sort, gather, kernel grids, backward segment-sum). ----
+        # as (offset, width) nibbles — rows 0-3 in one extra broadcast column,
+        # rows 4-5 in meta's free bits when side ≤ 6 (``meta_pack``), else a
+        # second column — ~2× fewer pairs at bench scale shrinks every
+        # pair-space cost downstream (sort, gather, kernel grids, backward
+        # segment-sum). ----
         row_exact = side <= 8
+        # meta-packed spans (r4): with side ≤ 6, the rows-4..5 span nibbles
+        # fit in meta's free low bits — meta becomes (tile ≪ 16 | ow₄ ≪ 8 |
+        # ow₅), which needs num_tiles ≤ 32767 so the tile field stays out of
+        # the sign bit. This drops the packB broadcast column entirely: one
+        # fewer int32 column through the delta scatter AND the (NP,·) cumsum
+        # (~1.2 ms/column at 786K slots; MEASUREMENTS.md).
+        meta_pack = row_exact and side <= 6 and num_tiles <= 32767
+        tile_base = y0 * tiles_x + x0
         if row_exact:
             row_w, row_o = _row_spans(proj, x0, y0, x1, y1, alive,
                                       tiles_x=tiles_x, side=side)
             area = jnp.sum(row_w, axis=1)
+            # deliberate int32 WRAP semantics: packing byte 3 (ow << 24 with
+            # ow up to 0x88) may set the sign bit, and the delta-scatter +
+            # cumsum reconstruction below is exact mod 2^32 (deltas of
+            # negative values borrow and re-carry); extraction uses masked
+            # shifts only. Do not "fix" to int64/uint32 — int64 is emulated
+            # on TPU and uint32 breaks the shared scatter with the signed
+            # meta/base columns.
             ow = (row_o << 4) | row_w                           # (N, side)
             packA = jnp.zeros((n,), jnp.int32)
-            packB = jnp.zeros((n,), jnp.int32)
             for r_ in range(min(side, 4)):
                 packA = packA | (ow[:, r_] << (8 * r_))
-            for r_ in range(4, side):
-                packB = packB | (ow[:, r_] << (8 * (r_ - 4)))
-            row_cols = [packA] + ([packB] if side > 4 else [])
+            if meta_pack:
+                meta = tile_base << 16
+                if side > 4:
+                    meta = meta | (ow[:, 4] << 8)
+                if side > 5:
+                    meta = meta | ow[:, 5]
+                row_cols = [packA]
+            else:
+                packB = jnp.zeros((n,), jnp.int32)
+                for r_ in range(4, side):
+                    packB = packB | (ow[:, r_] << (8 * (r_ - 4)))
+                meta = tile_base << 8
+                row_cols = [packA] + ([packB] if side > 4 else [])
         else:
             w = jnp.minimum(jnp.maximum(x1 - x0, 0), side)
             h = jnp.minimum(jnp.maximum(y1 - y0, 0), side)
             area = jnp.where(alive, w * h, 0)
+            meta = (tile_base << 8) | (w << 4)
             row_cols = []
-        # permute per-splat tables into rank order (cheap N-row gathers)
-        area_r = area[order]
-        meta_r = ((y0 * tiles_x + x0) << 8)[order] if row_exact else \
-            (((y0 * tiles_x + x0) << 8) | (w << 4))[order]
+
+        # ONE consolidated rank permute for ALL per-splat tables — meta,
+        # area, span columns AND the 16-wide feature table (riding the same
+        # int32 gather via exact bitcasts): row-gather cost is per ROW
+        # (~5.5 ns/row, width nearly free; MEASUREMENTS.md "binning
+        # decomposition"), so k separate [order] gathers cost k× one wide one.
+        feats_tbl = _feats_table(proj, feats_packed)            # (N, 16)
+        if feats_packed:
+            fi = jax.lax.bitcast_convert_type(
+                feats_tbl.reshape(n, 8, 2), jnp.int32)          # (N, 8)
+        else:
+            fi = jax.lax.bitcast_convert_type(feats_tbl, jnp.int32)
+        pre = jnp.concatenate(
+            [jnp.stack([meta, area] + row_cols, axis=1), fi], axis=1)
+        pre_r = pre[order]                                      # (N, 2+k+16|8)
+        n_spancols = len(row_cols)
+        if feats_packed:
+            feats_rows = jax.lax.bitcast_convert_type(
+                pre_r[:, 2 + n_spancols:], jnp.bfloat16).reshape(n, 16)
+        else:
+            feats_rows = jax.lax.bitcast_convert_type(
+                pre_r[:, 2 + n_spancols:], jnp.float32)
+        area_r = pre_r[:, 1]
         base_r = (jnp.cumsum(area_r) - area_r).astype(jnp.int32)   # exclusive
         n_valid = base_r[-1] + area_r[-1]
         np_slots = min(pair_budget, n * side * side)
@@ -397,9 +483,10 @@ def pack_pairs(
         # isolation — 4.9 vs 10.1 ms at 786K slots — but ~2 ms SLOWER in
         # context: XLA fuses this cumsum with the per-pair decode below,
         # which repeat's gather lowering breaks.)
-        vals = jnp.stack(
-            [meta_r, base_r, jnp.arange(n, dtype=jnp.int32)]
-            + [col[order] for col in row_cols], axis=1)         # (N, 3..5)
+        vals = jnp.concatenate(
+            [pre_r[:, :1], base_r[:, None],
+             jnp.arange(n, dtype=jnp.int32)[:, None],
+             pre_r[:, 2:2 + n_spancols]], axis=1)               # (N, 3..5)
         delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
         grid = jnp.zeros((np_slots, vals.shape[1]), jnp.int32).at[base_r].add(
             delta, mode="drop", indices_are_sorted=True)
@@ -413,12 +500,21 @@ def pack_pairs(
             # a static prefix ladder (rows with width 0 are skipped), then
             # its in-row column — no integer divide anywhere
             pa = g[:, 3]
-            pb = g[:, 4] if side > 4 else None
-            w_r = [((pa >> (8 * r_)) if r_ < 4 else (pb >> (8 * (r_ - 4))))
-                   & 0xF for r_ in range(side)]
-            o_r = [((pa >> (8 * r_ + 4)) if r_ < 4
-                    else (pb >> (8 * (r_ - 4) + 4))) & 0xF
-                   for r_ in range(side)]
+            if meta_pack:
+                # rows 4 (bits 8-15) and 5 (bits 0-7) live in meta
+                w_r = [(pa >> (8 * r_)) & 0xF if r_ < 4 else
+                       (ms >> (8 if r_ == 4 else 0)) & 0xF
+                       for r_ in range(side)]
+                o_r = [(pa >> (8 * r_ + 4)) & 0xF if r_ < 4 else
+                       (ms >> (12 if r_ == 4 else 4)) & 0xF
+                       for r_ in range(side)]
+            else:
+                pb = g[:, 4] if side > 4 else None
+                w_r = [((pa >> (8 * r_)) if r_ < 4 else (pb >> (8 * (r_ - 4))))
+                       & 0xF for r_ in range(side)]
+                o_r = [((pa >> (8 * r_ + 4)) if r_ < 4
+                        else (pb >> (8 * (r_ - 4) + 4))) & 0xF
+                       for r_ in range(side)]
             pref = [jnp.zeros_like(j)]
             for r_ in range(side):
                 pref.append(pref[-1] + w_r[r_])
@@ -431,7 +527,8 @@ def pack_pairs(
                 sel = jy == r_
                 row_start = jnp.where(sel, pref[r_], row_start)
                 row_off = jnp.where(sel, o_r[r_], row_off)
-            tile = (ms >> 8) + jy * tiles_x + row_off + (j - row_start)
+            tile = (ms >> (16 if meta_pack else 8)) \
+                + jy * tiles_x + row_off + (j - row_start)
         else:
             # in-rect coords without an integer divide: jy = j // w via a
             # side-step comparison ladder (w <= side, small constant)
@@ -482,6 +579,7 @@ def pack_pairs(
         sorted_tile = sorted_tile[:pair_budget]
         sorted_rank = sorted_rank[:pair_budget]
         bounds = _lower_bound(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32))
+        feats_rows = _feats_table(proj, feats_packed)[order]   # (N,16) rank order
     counts = bounds[1:] - bounds[:-1]
     starts = bounds[:-1]
 
@@ -509,43 +607,13 @@ def pack_pairs(
     tile_of_item = jnp.where(item_valid, tile_of_item, num_tiles)
     k_of_item = jnp.where(item_valid, k_of_item, idx_w - total_items)
 
-    # ---- pair-space feature gather: the (N,16) table is permuted into depth
-    # -rank order first (cheap N-row gather), so the big gather indexes by the
-    # key's rank bits directly — no splat-id recovery gather needed ----
-    if feats_packed is None:
-        feats_packed = n * FDIM * 4 > FEATS_PACK_BYTES
-    if feats_packed:
-        def sp(x):
-            hi = x.astype(jnp.bfloat16)
-            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return hi, lo
-        mxh, mxl = sp(proj.means2d[:, 0])
-        myh, myl = sp(proj.means2d[:, 1])
-        cah, cal = sp(proj.conic[:, 0])
-        cbh, cbl = sp(proj.conic[:, 1])
-        cch, ccl = sp(proj.conic[:, 2])
-        dh, dl = sp(proj.depth)
-        feats_rows = jnp.stack([
-            mxh, mxl, myh, myl, cah, cal, cbh, cbl, cch, ccl,
-            proj.opacity.astype(jnp.bfloat16),
-            proj.rgb[:, 0].astype(jnp.bfloat16),
-            proj.rgb[:, 1].astype(jnp.bfloat16),
-            proj.rgb[:, 2].astype(jnp.bfloat16),
-            dh, dl,
-        ], axis=1)[order]                               # (N, 16) bf16
-    else:
-        zrow = jnp.zeros((n,))
-        feats_rows = jnp.stack([
-            proj.means2d[:, 0], proj.means2d[:, 1],
-            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-            proj.opacity,
-            proj.rgb[:, 0], proj.rgb[:, 1], proj.rgb[:, 2],
-            proj.depth,
-            zrow, zrow, zrow, zrow, zrow, zrow,
-        ], axis=1)[order]                               # (N, 16), rank order
+    # ---- pair-space feature gather: feats_rows is the (N,16) table already
+    # permuted into depth-rank order (on the compact path it rode the
+    # consolidated permute above), so the big gather indexes by the key's
+    # rank bits directly — no splat-id recovery gather needed.
     # junk ranks (RANK_MASK) MUST clamp, not NaN-fill (jnp.take's default):
     # the kernel masks junk lanes to zero contribution, but 0 × NaN = NaN
-    # inside the accumulation matmuls
+    # inside the accumulation matmuls ----
     feats_t = jnp.take(feats_rows, sorted_rank, axis=0, mode="clip").T
     # pad to exactly n_blocks·CHUNK columns: the last block is a zero guard
     feats_t = jnp.pad(feats_t, ((0, 0), (0, n_blocks * CHUNK - np_real)))
@@ -872,14 +940,17 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     return jnp.concatenate(adds, axis=1), None
 
 
-def backward_tiles_pallas(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
-                          tiles_x: int, tiles_y: int,
-                          interpret: bool = False,
-                          mxu_bf16: bool = False) -> jnp.ndarray:
+def _backward_tiles_pallas_profile(pairs: PackedPairs, cot_tiles: jnp.ndarray, *,
+                                   tiles_x: int, tiles_y: int,
+                                   interpret: bool = False,
+                                   mxu_bf16: bool = False) -> jnp.ndarray:
     """PROFILE-ONLY single-camera wrapper: runs the backward kernel over the
-    FULL reversed item list (no live filtering — dead items' grads are wrong
-    under the live-boundary row-5 semantics; production uses
-    ``backward_tiles_flat``, whose grid keeps live items only).
+    FULL reversed item list (no live filtering — dead items' grads are WRONG
+    under the live-boundary row-5 semantics: the grid walks all items and
+    reconstructs inflated T for items the forward never composited).
+    Production uses ``backward_tiles_flat``, whose grid keeps live items
+    only; the leading underscore + name keep this path out of reach of
+    non-profiling callers (ADVICE r3).
 
     cot_tiles: (T, 8, 256) channel-major with rows 0-2 ĝcolor, 3 ĝdepth,
     4 ĝalpha', 5 log T at the live boundary. Returns pair gradients

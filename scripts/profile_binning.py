@@ -184,7 +184,7 @@ def _measure():
     fwdbwd = jax.jit(jax.grad(lambda b: loss(b)))
     print(f"fwd+bwd {_timeit(fwdbwd, bundle):8.2f} ms", flush=True)
 
-    bwd_pairs = jax.jit(lambda pr, ct: PT.backward_tiles_pallas(
+    bwd_pairs = jax.jit(lambda pr, ct: PT._backward_tiles_pallas_profile(
         pr, ct, tiles_x=tiles_x, tiles_y=tiles_y))
     cot = jnp.zeros((tiles_x * tiles_y + 1, 8, 256))
     print(f"bwdkern {_timeit(bwd_pairs, pairs, cot):8.2f} ms", flush=True)

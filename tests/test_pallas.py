@@ -132,6 +132,63 @@ class TestPallasBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=scale * 1e-4, err_msg=name)
 
+    def test_gradients_with_dead_items_on_saturated_tile(self, rng):
+        """Live-item backward filtering under saturation (ADVICE r3): stack
+        >CHUNK=256 near-opaque splats on ONE tile so the tile gets >=2 work
+        items and the composite saturates inside the FIRST (front) item —
+        every later item is dead and must be dropped by the live-boundary
+        filtering (dead-item grads under the row-5 log-T restart semantics
+        would otherwise be reconstructed with inflated T). The other unit
+        scenes never exceed 256 pairs/tile, so this is the only coverage of
+        item-granular early exit."""
+        n = 600
+        means = np.zeros((n, 3), np.float32)
+        means[:, 0] = rng.randn(n).astype(np.float32) * 0.015
+        means[:, 1] = rng.randn(n).astype(np.float32) * 0.015
+        means[:, 2] = np.linspace(-0.4, 0.4, n).astype(np.float32)  # depth spread
+        scales = np.exp(rng.randn(n, 3).astype(np.float32) * 0.2 - 3.4)
+        rots = rng.randn(n, 4).astype(np.float32)
+        opac = np.full((n,), 0.97, np.float32)
+        shs = rng.randn(n, 1, 3).astype(np.float32) * 0.3
+        cam = make_camera(np.eye(3), np.array([0.0, 0, 3.0]), fx=150, fy=150,
+                          cx=W / 2, cy=H / 2, width=W, height=H)
+        arrs = tuple(jnp.asarray(x) for x in (means, opac, scales, rots, shs))
+        proj = _proj(cam, arrs[0], arrs[2], arrs[3], arrs[1], arrs[4])
+
+        # preconditions for the scenario: some tile holds >256 pairs (>=2
+        # items) and the composite saturates (alpha ~= 1 at the cluster)
+        from gaussian_garments_tpu.ops.pallas_tiles import CHUNK, pack_pairs
+        pp = pack_pairs(proj, tiles_x=-(-W // 16), tiles_y=-(-H // 32),
+                        max_tiles_side=6, pair_budget=8192)
+        assert int(np.asarray(pp.counts).max()) > CHUNK, \
+            "scene must force >=2 work items on one tile"
+        img_p, _, alpha_p, _ = rasterize_pallas(
+            proj, image_height=H, image_width=W, bg=jnp.zeros(3),
+            pair_budget=8192, interpret=True)
+        assert float(np.asarray(alpha_p).max()) > 0.9999, \
+            "scene must saturate (front item kills the rest)"
+
+        target = jnp.asarray(rng.rand(3, H, W).astype(np.float32))
+        bg0 = jnp.asarray([0.1, 0.2, 0.3])
+
+        def mk_loss(raster):
+            def loss(m, o, s, r, sh, bg):
+                p = _proj(cam, m, s, r, o, sh)
+                out = raster(p, bg)
+                img, d, a = out[0], out[1], out[2]
+                return ((img - target) ** 2).mean() + 0.1 * d.mean() + 0.05 * (a ** 2).mean()
+            return loss
+
+        lp = mk_loss(lambda p, bg: rasterize_pallas(
+            p, image_height=H, image_width=W, bg=bg, interpret=True, pair_budget=8192))
+        lr = mk_loss(lambda p, bg: rasterize_reference(p, image_height=H, image_width=W, bg=bg))
+        gp = jax.grad(lp, argnums=tuple(range(6)))(*(arrs + (bg0,)))
+        gr = jax.grad(lr, argnums=tuple(range(6)))(*(arrs + (bg0,)))
+        for name, a, b in zip(("means", "opac", "scales", "rots", "shs", "bg"), gp, gr):
+            scale = max(float(jnp.abs(b).max()), 1e-8)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=scale * 2e-4, err_msg=name)
+
 
 class TestPairCount:
     def test_count_matches_pack_n_valid(self, rng):
