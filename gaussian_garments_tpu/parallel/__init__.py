@@ -38,19 +38,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def psum_mean_grads(grads, axis_name: str = "data"):
-    """All-reduce-mean a gradient pytree over the data axis (inside shard_map)."""
-    return jax.tree.map(lambda g: jax.lax.pmean(g, axis_name), grads)
+def shard_step(step_fn, mesh: Mesh, *, in_specs, out_specs):
+    """``jax.jit(shard_map(step_fn))`` with axis-name shorthand specs.
 
-
-def data_parallel_step(step_fn, mesh: Mesh, *, batched_argnums=(1,)):
-    """Wrap a (params, batch, ...) -> (params, aux) step with shard_map:
-    ``batch`` leading axes shard over "data"; everything else replicates;
-    the step_fn must psum/pmean its own cross-shard quantities (use
-    ``psum_mean_grads``)."""
+    Each entry of ``in_specs``/``out_specs`` is ``None`` (replicated) or an
+    axis name like ``"data"`` (shard that argument's leading axis). The
+    step_fn must pmean/psum its own cross-shard quantities over the axis —
+    both training steps do (``training/s2.py``, ``training/s3.py``).
+    Used by both drivers and ``__graft_entry__.dryrun_multichip``."""
     from jax import shard_map
 
-    in_specs = tuple(
-        P("data") if i in batched_argnums else P() for i in range(step_fn.__code__.co_argcount)
-    )
-    return shard_map(step_fn, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False)
+    to_p = lambda s: s if isinstance(s, P) else (P() if s is None else P(s))
+    return jax.jit(shard_map(
+        step_fn, mesh=mesh,
+        in_specs=tuple(to_p(s) for s in in_specs),
+        out_specs=tuple(to_p(s) for s in out_specs),
+        check_vma=False))

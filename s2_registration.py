@@ -227,15 +227,14 @@ def main():
                 t_trace = _time.perf_counter()
                 frame_cfg = cfg.replace(pair_budget=pair_budget)
                 if dp_mesh is not None:
-                    from jax import shard_map
-                    from jax.sharding import PartitionSpec as P
+                    from gaussian_garments_tpu.parallel import shard_step
                     raw = S2.make_s2_step(opt, mode=mode, use_body=use_body,
                                           active_sh_degree=0, raster_cfg=frame_cfg,
                                           axis_name="data", jit=False)
-                    steps[key] = jax.jit(shard_map(
-                        raw, mesh=dp_mesh,
-                        in_specs=(P(), P("data"), P(), P(), P()),
-                        out_specs=(P(), P(), P()), check_vma=False))
+                    steps[key] = shard_step(
+                        raw, dp_mesh,
+                        in_specs=(None, "data", None, None, None),
+                        out_specs=(None, None, None))
                 else:
                     steps[key] = S2.make_s2_step(opt, mode=mode, use_body=use_body,
                                                  active_sh_degree=0, raster_cfg=frame_cfg)
