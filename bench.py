@@ -86,8 +86,12 @@ def _measure(backend: str) -> "tuple[float, float]":
 
     @jax.jit
     def forward(b):
+        # probe hygiene (CLAUDE.md): the jitted probe returns a SCALAR, read
+        # back inside the timed window — `block_until_ready` on a ~8 MB image
+        # under-reports through the tunnel, and megabyte per-call outputs can
+        # show phantom ~2 ms/MB costs in a degraded tunnel process
         out = render(cam, b, jnp.zeros(3), config=cfg)
-        return out["render"], out["alpha"]
+        return out["render"].sum() + out["alpha"].sum()
 
     @jax.jit
     def fwd_bwd(b):
@@ -96,13 +100,13 @@ def _measure(backend: str) -> "tuple[float, float]":
             return out["render"].sum() + out["alpha"].sum()
         return jax.grad(lambda bb: loss(bb))(b).means3d.sum()
 
-    img, alpha = forward(bundle)
-    jax.block_until_ready(img)
+    s = forward(bundle)
+    jax.block_until_ready(s)
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        img, alpha = forward(bundle)
-    jax.block_until_ready(img)
+        s = forward(bundle)
+    float(np.asarray(s))
     fwd_ms = (time.perf_counter() - t0) / iters * 1000.0
 
     g = fwd_bwd(bundle)

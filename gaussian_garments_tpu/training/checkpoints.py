@@ -78,6 +78,12 @@ def _gc_legacy_layout(root: Path) -> None:
 
     if not any(p.is_dir() and p.name.isdigit() for p in root.iterdir()):
         return
+    # only GC when a legacy PAYLOAD marker is actually present: the name list
+    # includes '_CHECKPOINT_METADATA', which orbax also uses for per-step
+    # metadata — an orbax version that writes step-style metadata at the ROOT
+    # would otherwise lose manager state after every save (ADVICE r3)
+    if not ((root / "d").exists() or (root / "manifest.ocdbt").exists()):
+        return
     for name in _LEGACY_FILES:
         p = root / name
         if p.is_dir():
