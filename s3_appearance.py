@@ -81,6 +81,11 @@ def main():
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the item batch over the device mesh "
                              "(items_per_step must be a device-count multiple)")
+    parser.add_argument("--eval_only", action="store_true",
+                        help="load the checkpoint, run the held-out PSNR/SSIM "
+                             "eval, print one EVAL_ONLY json line and exit "
+                             "(used to measure the --unet_bf16 quality delta "
+                             "on a trained model)")
     parser.add_argument("--eval_items", type=int, default=4,
                         help="held-out items rendered for PSNR/SSIM at save points")
     parser.add_argument("--ckpt_backend", type=str, default="pickle",
@@ -204,14 +209,13 @@ def main():
         if dp_mesh is None:
             return S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
                                    raster_cfg=step_cfg, train_gaussians=train_gaussians)
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+        from gaussian_garments_tpu.parallel import shard_step
         raw = S3.make_s3_step(net, run_args, sh_degree=args.sh_degree,
                               raster_cfg=step_cfg, train_gaussians=train_gaussians,
                               axis_name="data", jit=False)
-        return jax.jit(shard_map(raw, mesh=dp_mesh,
-                                 in_specs=(P(), P(), P(), P("data")),
-                                 out_specs=(P(), P()), check_vma=False))
+        return shard_step(raw, dp_mesh,
+                          in_specs=(None, None, None, "data"),
+                          out_specs=(None, None))
 
     steps = {}   # pair_budget -> (step_pre, step_full, eval_fn)
 
@@ -244,6 +248,14 @@ def main():
             for k, v in image_metrics(img, it_.image[0], it_.mask[0]).items():
                 acc[k] = acc.get(k, 0.0) + v
         return {f"eval_{k}": v / n for k, v in acc.items()}
+
+    if args.eval_only:
+        import json as _json
+        q = eval_quality()
+        print("EVAL_ONLY " + _json.dumps(
+            {k: round(float(v), 4) for k, v in q.items()}), flush=True)
+        metrics_log.close()
+        return
 
     global_it = 0
     for epoch in range(start_epoch, args.epochs + 1):

@@ -47,6 +47,12 @@ def _measure():
     res = 512
     if "--texture" in sys.argv:
         res = int(sys.argv[sys.argv.index("--texture") + 1])
+    occupancy = 1.0
+    if "--occupancy" in sys.argv:
+        # realistic garment atlases cover ~half the texture; shrink the UV
+        # chart into a sqrt(f)-scaled corner so f of the texels bind
+        # (ROADMAP "dense-texel decision at realistic occupancy")
+        occupancy = float(sys.argv[sys.argv.index("--occupancy") + 1])
     W, H = 940, 1280
 
     parser = ArgumentParser()
@@ -56,6 +62,8 @@ def _measure():
     rng = np.random.RandomState(0)
     cams, verts, faces, uvs, colors = syn.make_scene(
         n_cams=2, nx=48, ny=48, width=W, height=H)
+    if occupancy < 1.0:
+        uvs = 0.005 + uvs * (np.sqrt(occupancy) * 0.99)
     bind, _ = AG.build_binding(uvs, faces, res, dense="--dense" in sys.argv)
     n = bind.binding.shape[0]
     print(f"texels bound: {n} ({res}² texture, dense={bind.dense})", flush=True)
