@@ -477,29 +477,38 @@ def pack_pairs(
         np_slots = min(pair_budget, n * side * side)
 
         # segment-constant per-pair values via delta scatter + cumsum:
-        # rows = [packed geometry, base offset, rank, packed row spans]; the
-        # rank column's deltas are +1 per splat (generation is rank-major),
-        # making rk the segment index itself. (jnp.repeat measured FASTER in
-        # isolation — 4.9 vs 10.1 ms at 786K slots — but ~2 ms SLOWER in
-        # context: XLA fuses this cumsum with the per-pair decode below,
-        # which repeat's gather lowering breaks.)
+        # rows = [packed geometry, fused rank/offset, packed row spans].
+        # (jnp.repeat measured FASTER in isolation — 4.9 vs 10.1 ms at 786K
+        # slots — but ~2 ms SLOWER in context: XLA fuses this cumsum with the
+        # per-pair decode below, which repeat's gather lowering breaks.)
+        #
+        # Fused rank/offset column (r4): the decode needs per-pair rank rk
+        # and in-segment index j = p − bs, i.e. TWO segment-constant values
+        # (rk, bs). But u = (rk ≪ SH) − bs is itself segment-constant and
+        # recovers both from one column: v = u + p → rk = v ≫ SH,
+        # j = v & (2^SH−1) — exact because j < area ≤ 2^SH (area ≤ side²) and
+        # u ≥ 0 (bs = Σ areas ≤ 2^SH·rk). One fewer int32 column through the
+        # scatter AND the (NP,·) cumsum (~1.2 ms/column at 786K slots).
+        SH = 7 if row_exact else 8          # area ≤ 64 (side ≤ 8) | ≤ 225
+        u = (jnp.arange(n, dtype=jnp.int32) << SH) - base_r
         vals = jnp.concatenate(
-            [pre_r[:, :1], base_r[:, None],
-             jnp.arange(n, dtype=jnp.int32)[:, None],
-             pre_r[:, 2:2 + n_spancols]], axis=1)               # (N, 3..5)
+            [pre_r[:, :1], u[:, None],
+             pre_r[:, 2:2 + n_spancols]], axis=1)               # (N, 2..4)
         delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
         grid = jnp.zeros((np_slots, vals.shape[1]), jnp.int32).at[base_r].add(
             delta, mode="drop", indices_are_sorted=True)
-        g = jnp.cumsum(grid, axis=0)                           # (NP, 3..5)
-        ms, bs, rk = g[:, 0], g[:, 1], g[:, 2]
+        g = jnp.cumsum(grid, axis=0)                           # (NP, 2..4)
+        ms = g[:, 0]
 
         p_iota = jnp.arange(np_slots, dtype=jnp.int32)
-        j = p_iota - bs
+        v = g[:, 1] + p_iota
+        rk = v >> SH
+        j = v & ((1 << SH) - 1)
         if row_exact:
             # unpack per-row (offset, width) nibbles; find the pair's row by
             # a static prefix ladder (rows with width 0 are skipped), then
             # its in-row column — no integer divide anywhere
-            pa = g[:, 3]
+            pa = g[:, 2]
             if meta_pack:
                 # rows 4 (bits 8-15) and 5 (bits 0-7) live in meta
                 w_r = [(pa >> (8 * r_)) & 0xF if r_ < 4 else
@@ -509,7 +518,7 @@ def pack_pairs(
                        (ms >> (12 if r_ == 4 else 4)) & 0xF
                        for r_ in range(side)]
             else:
-                pb = g[:, 4] if side > 4 else None
+                pb = g[:, 3] if side > 4 else None
                 w_r = [((pa >> (8 * r_)) if r_ < 4 else (pb >> (8 * (r_ - 4))))
                        & 0xF for r_ in range(side)]
                 o_r = [((pa >> (8 * r_ + 4)) if r_ < 4
