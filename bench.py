@@ -145,6 +145,10 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"[bench] {backend} attempt timed out (tunnel wedge); retrying",
                   file=sys.stderr)
+            # a killed child leaves its chip CLAIM outstanding; an immediate
+            # retry blocks on it (zero-CPU silence) and times out too —
+            # let the claim expire first (~90 s measured)
+            time.sleep(150)
         if ms is not None:
             break
     if ms is None:

@@ -870,6 +870,20 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
     t_carry = t_ref[:]                            # log T after this chunk
     s_carry = s_ref[:]                            # Σ_{j>chunk} G_j w_j
     cot_a = _transpose_row(cot[4:5, :])           # ĝalpha' → (256,1)
+
+    # (6, PIX) pixel-moment basis [1, x, y, x², xy, y²] in TILE-LOCAL
+    # coordinates (lane-major, straight from iota). All six per-pair pixel
+    # reductions below collapse into ONE basis @ d_pow MXU matmul because
+    # dx = m − px separates per (pixel, pair); tile-local coords keep the
+    # per-pair recombination conditioned (globally, px² ~ 3.7e6 would eat
+    # ~4 of f32's 7 digits in the m²S0 − 2mSx + Sxx cancellation; locally
+    # the cancelled terms stay within ~4× of the result).
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    bx = jax.lax.rem(pos, TILE_W).astype(jnp.float32)
+    by = jax.lax.div(pos, TILE_W).astype(jnp.float32)
+    basis = jnp.concatenate(
+        [jnp.ones((1, PIX), jnp.float32), bx, by, bx * bx, bx * by, by * by],
+        axis=0)                                   # (6, PIX)
     adds = [None] * (CHUNK // SUB)
     # sub-blocks processed back-to-front (the chunk is depth-ascending)
     for b in reversed(range(CHUNK // SUB)):
@@ -917,21 +931,38 @@ def _backward_body(tile, chunk, start, count, tiles_x, chunk_in, cot,
         d_alpha_un = jnp.where(capped, 0.0, d_alpha)  # min(0.99,·) gate
         d_pow = d_alpha_un * alpha                # dα/dpower = α (uncapped)
 
-        # sanitize the geometric factors: culled splats carry non-finite
-        # projected means (w→0 division); 0·inf would poison the reductions
-        dxs = jnp.where(ok, dx, 0.0)
-        dys = jnp.where(ok, dy, 0.0)
-        eps_ok = jnp.where(ok & jnp.logical_not(capped), ep, 0.0)
-
-        # per-pair reductions over pixels
-        dmx = jnp.sum(d_pow * (-(car * dxs + cbr * dys)),
-                      axis=0, keepdims=True)
-        dmy = jnp.sum(d_pow * (-(ccr * dys + cbr * dxs)),
-                      axis=0, keepdims=True)
-        dca = jnp.sum(d_pow * (-0.5 * dxs * dxs), axis=0, keepdims=True)
-        dcb = jnp.sum(d_pow * (-dxs * dys), axis=0, keepdims=True)
-        dcc_ = jnp.sum(d_pow * (-0.5 * dys * dys), axis=0, keepdims=True)
-        dop = jnp.sum(d_alpha_un * eps_ok, axis=0, keepdims=True)
+        # ---- per-pair reductions over pixels: ONE MXU matmul of the fixed
+        # pixel-moment basis against d_pow (d_pow is exactly zero at every
+        # ¬ok / capped pixel, so no per-pixel masking of dx/dy is needed):
+        #   Σ d_pow·dx   = m_x·S0 − Sx
+        #   Σ d_pow·dx²  = m_x²·S0 − 2m_x·Sx + Sxx          (etc.)
+        #   Σ d_α'·ep    = S0 / opacity  (α = op·ep uncapped; capped pixels
+        #                                 have d_alpha_un = 0 ⇒ zero in S0)
+        # Culled splats carry non-finite projected means (w→0 division) —
+        # sanitize PER PAIR (their d_pow column is all zero). ----
+        # HIGHEST: default TPU dot precision rounds inputs to bf16 (single
+        # MXU pass); the quadratic basis rows (values up to 31²) lose ~3
+        # digits there and the scales grad degrades to 3.5e-2 vs the tiled
+        # oracle (measured). Full-f32 passes on a (6,PIX)@(PIX,SUB) matmul
+        # are ~1 MFLOP — free — and restore ≤0.5% agreement.
+        mom = jax.lax.dot_general(basis, d_pow, (((1,), (0,)), ((), ())),
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+        s0, sx, sy = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+        sxx, sxy, syy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+        mxl = jnp.where(jnp.isfinite(mxr), mxr, 0.0) - ox   # (1,SUB) local
+        myl = jnp.where(jnp.isfinite(myr), myr, 0.0) - oy
+        e_x = mxl * s0 - sx
+        e_y = myl * s0 - sy
+        e_xx = mxl * mxl * s0 - 2.0 * mxl * sx + sxx
+        e_xy = mxl * myl * s0 - mxl * sy - myl * sx + sxy
+        e_yy = myl * myl * s0 - 2.0 * myl * sy + syy
+        dmx = -(car * e_x + cbr * e_y)
+        dmy = -(ccr * e_y + cbr * e_x)
+        dca = -0.5 * e_xx
+        dcb = -e_xy
+        dcc_ = -0.5 * e_yy
+        dop = jnp.where(opr > 0.0, s0 / jnp.where(opr > 0.0, opr, 1.0), 0.0)
         grads4 = _mm(
             cot[0:4, :], w, (((1,), (0,)), ((), ())), mxu_bf16
         )                                         # (4,SUB): dr,dg,db,dd

@@ -22,6 +22,7 @@ import os
 import shutil
 import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -35,31 +36,74 @@ ENV = {**os.environ,
        "JAX_COMPILATION_CACHE_DIR": "/tmp/jaxcache"}
 
 
-def run_stage(name, cmd, timeout_s, retries=1, env=None, expect=None):
-    """Child-process stage with wedge retry. Returns (wall_s, stdout)."""
+def _pump(stream, chunks, last_t):
+    """Reader thread: accumulate stdout chunks, stamp the last-output time
+    (the wedge signal is silence, not slowness)."""
+    for line in iter(stream.readline, ""):
+        chunks.append(line)
+        last_t[0] = time.perf_counter()
+    stream.close()
+
+
+def run_stage(name, cmd, timeout_s, retries=2, env=None, expect=None,
+              stall_s=600.0):
+    """Child-process stage with a STALL watchdog: the tunnel wedge manifests
+    as a process that stops producing output on its next dispatch (CLAUDE.md
+    — ~1 in 3 under load), so a hung child is killed after ``stall_s``
+    seconds of stdout silence and retried (the XLA compilation cache makes
+    retries cheap), independent of how long a healthy stage legitimately
+    runs. ``timeout_s`` stays as the overall hard budget.
+    Returns (wall_s, stdout)."""
     for attempt in range(retries + 1):
         t0 = time.perf_counter()
         print(f"[prod_drive] {name} (attempt {attempt + 1}) ...", flush=True)
-        try:
-            r = subprocess.run(cmd, cwd=REPO, env=env or ENV,
-                               timeout=timeout_s, capture_output=True,
-                               text=True)
-        except subprocess.TimeoutExpired as e:
-            print(f"[prod_drive] {name} TIMED OUT after {timeout_s}s "
-                  f"(tunnel wedge?); retrying" if attempt < retries else
-                  f"[prod_drive] {name} timed out twice", flush=True)
-            so = (e.stdout or b"")
-            sys.stderr.write(so.decode() [-2000:] if isinstance(so, bytes) else so[-2000:])
-            continue
+        proc = subprocess.Popen(cmd, cwd=REPO, env=env or ENV,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        chunks, last_t = [], [time.perf_counter()]
+        th = threading.Thread(target=_pump, args=(proc.stdout, chunks, last_t),
+                              daemon=True)
+        th.start()
+        verdict = None
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                th.join(timeout=10)
+                break
+            now = time.perf_counter()
+            if now - last_t[0] > stall_s:
+                verdict = f"STALLED ({stall_s:.0f}s of silence — tunnel wedge?)"
+            elif now - t0 > timeout_s:
+                verdict = f"TIMED OUT after {timeout_s}s"
+            if verdict:
+                proc.kill()
+                proc.wait()
+                break
+            time.sleep(5)
+        out = "".join(chunks)
         dt = time.perf_counter() - t0
-        if r.returncode != 0:
-            sys.stderr.write(r.stdout[-3000:] + r.stderr[-5000:])
-            raise RuntimeError(f"{name} failed (rc={r.returncode})")
+        if verdict:
+            print(f"[prod_drive] {name} {verdict} at {dt:.0f}s; "
+                  f"{'retrying' if attempt < retries else 'giving up'}",
+                  flush=True)
+            sys.stderr.write(out[-2000:])
+            if attempt < retries:
+                # a killed client leaves its chip CLAIM outstanding for a
+                # while; an immediate retry blocks on it with zero CPU (the
+                # same silence signature) and gets killed again — observed
+                # cascade. Let the claim expire first (~90 s measured).
+                print("[prod_drive] cooling down 150s for the chip claim "
+                      "to release ...", flush=True)
+                time.sleep(150)
+            continue
+        if rc != 0:
+            sys.stderr.write(out[-6000:])
+            raise RuntimeError(f"{name} failed (rc={rc})")
         if expect is not None and not Path(expect).exists():
             raise RuntimeError(f"{name} succeeded but {expect} is missing")
         print(f"[prod_drive] {name} OK in {dt:.1f}s", flush=True)
-        return dt, r.stdout
-    raise RuntimeError(f"{name} wedged {retries + 1} times")
+        return dt, out
+    raise RuntimeError(f"{name} wedged/stalled {retries + 1} times")
 
 
 def ensure_dataset(frames, cams, res, nx):
@@ -73,7 +117,7 @@ def ensure_dataset(frames, cams, res, nx):
                     "from gaussian_garments_tpu.data.synthetic import write_reference_layout;"
                     f"write_reference_layout('{ROOT}/data','{ROOT}/out','subj','seq1',"
                     f"n_cams={cams},n_frames={frames},nx={nx},ny={nx},res={res})"],
-        timeout_s=3600,
+        timeout_s=3600, stall_s=3600,   # CPU-only: no tunnel, can't wedge
         env={**ENV, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"})
     marker.parent.mkdir(parents=True, exist_ok=True)
     marker.touch()
@@ -111,6 +155,9 @@ def main():
     ap.add_argument("--texture", type=int, default=512)
     ap.add_argument("--fresh", action="store_true",
                     help="wipe /tmp/gg_prod and start over")
+    ap.add_argument("--stall_s", type=float, default=600.0,
+                    help="kill+retry a TPU stage after this many seconds of "
+                         "stdout silence (the tunnel-wedge signal)")
     ap.add_argument("--s3_interrupt_s", type=int, default=0,
                     help="kill s3 after this many seconds to exercise orbax "
                          "resume (0 = auto: 45%% of the budget)")
@@ -134,7 +181,8 @@ def main():
              "-tf", "0",
              "--first_frame_iterations", str(args.tmpl_iters),
              "--ff_collision_iteration", str(args.tmpl_coll)],
-            timeout_s=7200, expect=s2dir / "Template/template.obj")
+            timeout_s=7200, stall_s=args.stall_s,
+            expect=s2dir / "Template/template.obj")
         summary["s2_template_s"] = round(dt, 1)
 
     # ---- stage 2b: sequence registration over all frames ----
@@ -147,7 +195,7 @@ def main():
              "--other_frame_iterations", str(args.frame_iters),
              "--collision_iteration", str(args.frame_coll),
              "--ff_collision_iteration", str(args.frame_coll)],
-            timeout_s=14400)
+            timeout_s=14400, stall_s=args.stall_s)
         summary["s2_sequence_s"] = round(dt, 1)
         summary["s2_early_stops"] = out.count("plateau at iter")
     frames_q = {}
@@ -183,8 +231,11 @@ def main():
             summary["s3_interrupted"] = True
             summary["s3_first_leg_s"] = cut
             print(f"[prod_drive] s3 killed at {cut}s (deliberate; exercising "
-                  "orbax resume)", flush=True)
-    dt, out = run_stage("s3_resume", s3_cmd, timeout_s=14400)
+                  "orbax resume); cooling down 150s for the chip claim",
+                  flush=True)
+            time.sleep(150)
+    dt, out = run_stage("s3_resume", s3_cmd, timeout_s=14400,
+                        stall_s=args.stall_s)
     summary["s3_resume_s"] = round(dt, 1)
     summary["s3_resumed_from"] = next(
         (line for line in out.splitlines() if "Resumed from epoch" in line),
@@ -199,7 +250,7 @@ def main():
     for tag, extra in (("f32", []), ("bf16", ["--unet_bf16"])):
         _, out = run_stage(
             f"s3_eval_{tag}", s3_cmd + ["--eval_only"] + extra,
-            timeout_s=2400)
+            timeout_s=2400, stall_s=args.stall_s)
         for line in out.splitlines():
             if line.startswith("EVAL_ONLY"):
                 bf16_q[tag] = json.loads(line[len("EVAL_ONLY "):])
@@ -231,7 +282,7 @@ def main():
          "--output_path", str(out_dir), "--sh_degree", "3",
          "--texture_size", str(args.texture),
          "--width", "940", "--height", "1280"],
-        timeout_s=7200, env=ENV,
+        timeout_s=7200, env=ENV, stall_s=args.stall_s,
         expect=out_dir / "renders")
     n_renders = len(list((out_dir / "renders").glob("*.png")))
     summary["inference_s"] = round(dt, 1)
