@@ -27,6 +27,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))   # the script runs as scripts/prod_drive.py, so
+                                # sys.path[0] is scripts/ — the inference leg
+                                # imports gaussian_garments_tpu directly
 ROOT = Path(os.environ.get("GG_PROD_ROOT", "/tmp/gg_prod"))
 
 ENV = {**os.environ,
