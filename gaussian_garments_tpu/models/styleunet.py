@@ -328,6 +328,82 @@ class ToRGB(nn.Module):
         return out
 
 
+class DiscFromRGB(nn.Module):
+    """Discriminator FromRGB (``use_wt=True`` variant, reference
+    styleunet.py:442-470): inputs live in Haar-wavelet space; a downsample
+    level round-trips through pixel space (iwt → blur-down → dwt)."""
+    out_channel: int
+    downsample: bool = True
+
+    @nn.compact
+    def __call__(self, inp, skip):
+        if self.downsample:
+            inp = inverse_haar_transform(inp)
+            inp = Downsample(name="down")(inp)
+            inp = haar_transform(inp)
+        out = ConvLayer(self.out_channel, 1, name="conv")(inp)
+        if skip is not None:
+            out = out + skip
+        return inp, out
+
+
+def _minibatch_stddev(out, group_size: int = 4, feat: int = 1):
+    """Reference styleunet.py:541-548 (StyleGAN2 minibatch stddev): biased
+    per-group feature stddev, averaged, tiled back over the batch."""
+    b, c, h, w = out.shape
+    g = min(b, group_size)
+    s = out.reshape(g, b // g, feat, c // feat, h, w)
+    sd = jnp.sqrt(s.var(axis=0) + 1e-8)                      # (B/g,f,C/f,H,W)
+    sd = jnp.mean(sd, axis=(2, 3, 4), keepdims=True)[:, :, 0]  # (B/g,f,1,1)
+    return jnp.tile(sd, (g, 1, h, w))                        # (B,f,H,W)
+
+
+class Discriminator(nn.Module):
+    """StyleGAN2 wavelet discriminator (reference styleunet.py:473-565).
+
+    Unused by every reference training script (SURVEY §2.4 — the appearance
+    stage trains SWGAN_unet purely with photometric losses); provided for
+    API completeness and any eval-time GAN metrics. Weight-for-weight torch
+    parity is enforced by ``tests/test_styleunet.py``."""
+    size: int
+    img_channel: int = 6
+    channel_multiplier: int = 2
+    c_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, flat_pose=None):
+        log_size = int(math.log2(self.size)) - 1
+        x = haar_transform(x)
+        out = None
+        in_channel = _channels(self.size, self.channel_multiplier)
+        for j, i in enumerate(range(log_size, 2, -1)):
+            out_channel = _channels(2 ** (i - 1), self.channel_multiplier)
+            x, out = DiscFromRGB(in_channel, downsample=(i != log_size),
+                                 name=f"from_rgb_{j}")(x, out)
+            out = ConvBlock(out_channel, name=f"conv_{j}")(out)
+            in_channel = out_channel
+        x, out = DiscFromRGB(_channels(4, self.channel_multiplier),
+                             name="from_rgb_final")(x, out)
+
+        out = jnp.concatenate([out, _minibatch_stddev(out)], axis=1)
+        out = ConvLayer(_channels(4, self.channel_multiplier), 3,
+                        name="final_conv")(out)
+        out = out.reshape(out.shape[0], -1)
+        out = EqualLinear(_channels(4, self.channel_multiplier),
+                          activation="fused_lrelu", name="final_linear_0")(out)
+        out = EqualLinear(1, name="final_linear_1")(out)
+
+        if self.c_dim > 0:
+            # pose-conditioned projection head (reference :517-535, :559-563)
+            e = flat_pose
+            for i in range(4):
+                e = EqualLinear(64, lr_mul=0.01, activation="fused_lrelu",
+                                name=f"mapping_{i}")(e)
+            e = e * jax.lax.rsqrt(jnp.mean(e**2, axis=1, keepdims=True) + 1e-8)
+            out = jnp.sum(out * e, axis=1, keepdims=True) / math.sqrt(self.c_dim)
+        return out
+
+
 _CHANNELS = {4: 512, 8: 512, 16: 512, 32: 512}
 
 

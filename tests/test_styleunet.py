@@ -116,6 +116,57 @@ class TestUpfirdn2d:
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
 
 
+class TestDiscriminatorParity:
+    def _copy(self, ref, variables):
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        p = jax.tree.map(np.array, variables["params"])
+
+        def conv_layer(dst, src, downsample):
+            i = 1 if downsample else 0
+            dst["conv"]["weight"] = sd[f"{src}.{i}.weight"]
+            dst["act_bias"] = sd[f"{src}.{i+1}.bias"]
+
+        log_size = int(math.log2(SIZE)) - 1
+        n_lvl = log_size - 2
+        for j in range(n_lvl):
+            p[f"from_rgb_{j}"]["conv"]["conv"]["weight"] = sd[f"from_rgbs.{j}.conv.0.weight"]
+            p[f"from_rgb_{j}"]["conv"]["act_bias"] = sd[f"from_rgbs.{j}.conv.1.bias"]
+            conv_layer(p[f"conv_{j}"]["conv1"], f"convs.{j}.conv1", False)
+            conv_layer(p[f"conv_{j}"]["conv2"], f"convs.{j}.conv2", True)
+        p["from_rgb_final"]["conv"]["conv"]["weight"] = sd[f"from_rgbs.{n_lvl}.conv.0.weight"]
+        p["from_rgb_final"]["conv"]["act_bias"] = sd[f"from_rgbs.{n_lvl}.conv.1.bias"]
+        conv_layer(p["final_conv"], "final_conv", False)
+        for i in range(2):
+            p[f"final_linear_{i}"]["weight"] = sd[f"final_linear.{i}.weight"]
+            p[f"final_linear_{i}"]["bias"] = sd[f"final_linear.{i}.bias"]
+        return {"params": p}
+
+    def test_forward_matches_torch(self, rng):
+        su = _load_ref_styleunet()
+        torch.manual_seed(1)
+        ref = su.Discriminator(SIZE, img_channel=6).eval()
+        net = S.Discriminator(size=SIZE, img_channel=6)
+        # batch 4 exercises the full minibatch-stddev group
+        x = rng.randn(4, 6, SIZE, SIZE).astype(np.float32)
+
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = jax.tree.map(jnp.asarray, self._copy(ref, variables))
+
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(x))
+        ours = net.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_pose_conditioned_head_shape(self, rng):
+        net = S.Discriminator(size=32, img_channel=3, c_dim=10)
+        x = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+        pose = jnp.asarray(rng.randn(2, 10).astype(np.float32))
+        variables = net.init(jax.random.PRNGKey(0), x, pose)
+        out = net.apply(variables, x, pose)
+        assert out.shape == (2, 1) and np.isfinite(np.asarray(out)).all()
+
+
 class TestSWGANUnetParity:
     def test_forward_matches_torch(self, rng):
         ref = _ref_net().eval()
