@@ -495,20 +495,43 @@ def pack_pairs(
             [pre_r[:, :1], u[:, None],
              pre_r[:, 2:2 + n_spancols]], axis=1)               # (N, 2..4)
         delta = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
-        grid = jnp.zeros((np_slots, vals.shape[1]), jnp.int32).at[base_r].add(
-            delta, mode="drop", indices_are_sorted=True)
-        g = jnp.cumsum(grid, axis=0)                           # (NP, 2..4)
-        ms = g[:, 0]
+        # FLAT broadcast (r4): an (NP, k) axis-0 cumsum pads its k-wide minor
+        # dim to 128 lanes (k/128 utilization — scripts/
+        # profile_cumsum_broadcast.py measures the column-concatenated flat
+        # form ~8× cheaper); scatter all k delta columns into ONE (k·NP,)
+        # grid at column offsets and run ONE dense 1-D cumsum, then subtract
+        # each column's inherited carry (the flat running sum crosses the
+        # column boundary carrying the previous column's final value — a
+        # static-index scalar read, exact in int32 wrap arithmetic).
+        # Budget-overflow splats (base_r ≥ np_slots, nondecreasing suffix)
+        # must NOT spill into the next column's region: clamp their index to
+        # the column's last slot and zero the update (equivalent to the old
+        # mode="drop", but keeps indices sorted and in-bounds).
+        kc = vals.shape[1]
+        in_b = base_r < np_slots
+        safe = jnp.where(in_b, base_r, np_slots - 1)
+        idx = jnp.concatenate([safe + c * np_slots for c in range(kc)])
+        upd = jnp.concatenate(
+            [jnp.where(in_b, delta[:, c], 0) for c in range(kc)])
+        flat = jnp.zeros((kc * np_slots,), jnp.int32).at[idx].add(
+            upd, indices_are_sorted=True)
+        gf = jnp.cumsum(flat)                                  # (k·NP,)
+        # consumers read the 1-D column slices directly (stacking back to
+        # (NP, k) would re-materialize the padded layout this avoids)
+        g = [gf[:np_slots]] + [
+            gf[c * np_slots:(c + 1) * np_slots] - gf[c * np_slots - 1]
+            for c in range(1, kc)]
+        ms = g[0]
 
         p_iota = jnp.arange(np_slots, dtype=jnp.int32)
-        v = g[:, 1] + p_iota
+        v = g[1] + p_iota
         rk = v >> SH
         j = v & ((1 << SH) - 1)
         if row_exact:
             # unpack per-row (offset, width) nibbles; find the pair's row by
             # a static prefix ladder (rows with width 0 are skipped), then
             # its in-row column — no integer divide anywhere
-            pa = g[:, 2]
+            pa = g[2]
             if meta_pack:
                 # rows 4 (bits 8-15) and 5 (bits 0-7) live in meta
                 w_r = [(pa >> (8 * r_)) & 0xF if r_ < 4 else
@@ -518,7 +541,7 @@ def pack_pairs(
                        (ms >> (12 if r_ == 4 else 4)) & 0xF
                        for r_ in range(side)]
             else:
-                pb = g[:, 3] if side > 4 else None
+                pb = g[3] if side > 4 else None
                 w_r = [((pa >> (8 * r_)) if r_ < 4 else (pb >> (8 * (r_ - 4))))
                        & 0xF for r_ in range(side)]
                 o_r = [((pa >> (8 * r_ + 4)) if r_ < 4

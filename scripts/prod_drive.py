@@ -36,7 +36,13 @@ ENV = {**os.environ,
        "GG_DATA_ROOT": str(ROOT / "data"),
        "GG_OUTPUT_ROOT": str(ROOT / "out"),
        "GG_AUX_ROOT": str(ROOT / "aux"),
-       "JAX_COMPILATION_CACHE_DIR": "/tmp/jaxcache"}
+       "JAX_COMPILATION_CACHE_DIR": "/tmp/jaxcache",
+       # children write to a PIPE, so python block-buffers their stdout: a
+       # long silent startup (orbax restore + bake/bind-map init + compile)
+       # reads as 600s of "silence" to the stall watchdog and gets killed at
+       # exactly stall_s — observed as three deterministic 610s kills of
+       # s3_resume. Unbuffered stdout makes the watchdog see real liveness.
+       "PYTHONUNBUFFERED": "1"}
 
 
 def _pump(stream, chunks, last_t):
