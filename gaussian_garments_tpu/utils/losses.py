@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,24 +63,47 @@ def _band_matrix_np(size: int, window_size: int, sigma: float):
 
 def _blur(img: jnp.ndarray, window_size: int, sigma: float = 1.5) -> jnp.ndarray:
     """Depthwise separable gaussian blur of (N,C,H,W) with SAME padding,
-    as two MXU matmuls (see module docstring for the TPU A/B)."""
+    as two MXU matmuls (see module docstring for the TPU A/B).
+
+    Precision is pinned to HIGHEST for portability: on TPU generations where
+    the default matmul precision rounds f32 INPUTS to bf16
+    (`preferred_element_type` only widens the accumulator), the blurred
+    moments would carry ~2e-3 absolute error — bigger than SSIM's
+    C2 = 9e-4 — and sigma1_sq+sigma2_sq could cross -C2. On the current
+    chip default precision measures f32-exact (probe_ssim_precision.py), so
+    HIGHEST costs nothing here; see MEASUREMENTS.md "SSIM bf16 fix (r5)"."""
     bh = jnp.asarray(_band_matrix_np(img.shape[2], window_size, sigma))
     bw = jnp.asarray(_band_matrix_np(img.shape[3], window_size, sigma))
     out = jnp.einsum("nchw,wv->nchv", img, bw,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("nchw,hg->ncgw", out, bh,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11,
          size_average: bool = True) -> jnp.ndarray:
-    """SSIM over (C,H,W) or (N,C,H,W) images; reference ``loss_utils.py:36-69``."""
+    """SSIM over (C,H,W) or (N,C,H,W) images; reference ``loss_utils.py:36-69``.
+
+    Inputs are force-cast to f32 BEFORE any products: a bf16 image makes
+    ``img1*img1`` round in bf16, which breaks the Cauchy–Schwarz guarantee
+    sigma² ≥ 0 by ~2e-3 > C2 = 9e-4 and explodes the ratio on flat/bright
+    regions. This was the r4 production-drive bug (eval_ssim = −4.73 /
+    +1.217; SSIM is bounded by [−1,1]): the s3 eval render reached this
+    function as bf16. Measured on a 512² flat pair: f32 +0.9990,
+    bf16/bf16 −17.30, bf16/f32 +1.2027 (matches the logged +1.217).
+    The reference computes SSIM in full f32 (utils/loss_utils.py:36-69);
+    regression-tested by ``tests/test_foundation.py`` (bf16 + f64 oracle)."""
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
     squeeze = img1.ndim == 3
     if squeeze:
         img1, img2 = img1[None], img2[None]
         if mask is not None:
             mask = mask[None]
     if mask is not None:
+        mask = mask.astype(jnp.float32)
         img1 = img1 * mask
         img2 = img2 * mask
 
@@ -105,5 +129,6 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11,
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
-    mse = jnp.mean((img1 - img2) ** 2)
+    # f32 like ssim(): an all-bf16 pair would compute the MSE in bf16
+    mse = jnp.mean((img1.astype(jnp.float32) - img2.astype(jnp.float32)) ** 2)
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

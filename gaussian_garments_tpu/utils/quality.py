@@ -22,7 +22,11 @@ def image_metrics(render: jnp.ndarray, gt: jnp.ndarray,
 
     ``psnr_masked`` restricts the MSE to the penalized-mask region (the
     garment ∪ background area the training loss sees — io_utils.py:90-111);
-    full-image metrics are reported alongside for cross-paper comparability.
+    ``ssim_masked`` applies the mask multiplicatively to both images before
+    the SSIM windows, exactly like the training loss (reference
+    loss_utils.py:44-46) — the unmasked full-frame SSIM is dominated by the
+    (identical) background and saturates near 1. Full-image metrics are
+    reported alongside for cross-paper comparability.
     """
     render = jnp.clip(render, 0.0, 1.0)
     out = {
@@ -31,9 +35,12 @@ def image_metrics(render: jnp.ndarray, gt: jnp.ndarray,
     }
     if mask is not None:
         m = mask.astype(jnp.float32)
+        if m.ndim == 2:
+            m = m[None]
         denom = jnp.maximum(m.sum() * gt.shape[0], 1.0)
         mse = (((render - gt) * m) ** 2).sum() / denom
         out["psnr_masked"] = float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
+        out["ssim_masked"] = float(_ssim(render[None], gt[None], mask=m[None]))
     return out
 
 

@@ -209,9 +209,17 @@ def main():
         summary["s2_early_stops"] = out.count("plateau at iter")
     frames_q = {}
     for f in sorted((s2dir / "seq1/logs").glob("frame_*.jsonl")):
-        q = tail_jsonl(f, ("test_psnr", "test_ssim", "psnr", "ssim"))
-        frames_q[f.stem] = {k: round(v, 3) for k, v in q.items()
-                            if isinstance(v, (int, float))}
+        # harvest only real quality metrics. The train-log `ssim` key is the
+        # LOSS TERM `1.0 - λ·ssim` (reference quirk, loss_utils semantics) —
+        # r4 silently recorded it as frame SSIM (=0.8 for every frame); keep
+        # it out, or rename it, so s2_frame_quality means what it says.
+        q = tail_jsonl(f, ("test_psnr", "test_ssim", "test_ssim_masked",
+                           "test_psnr_masked", "psnr", "ssim"))
+        row = {k: round(v, 3) for k, v in q.items()
+               if isinstance(v, (int, float))}
+        if "ssim" in row:
+            row["ssim_loss_term"] = row.pop("ssim")
+        frames_q[f.stem] = row
     summary["s2_frame_quality"] = frames_q
     print(json.dumps({"s2": summary.get("s2_frame_quality")}), flush=True)
 

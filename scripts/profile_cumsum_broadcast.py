@@ -68,7 +68,13 @@ def variant_c(base, vals):
         d = jnp.concatenate([v[:1], v[1:] - v[:-1]])
         if c > 0:
             # compensating first delta: cancel the previous column's final
-            # value carried across the column boundary by the flat cumsum
+            # value carried across the column boundary by the flat cumsum.
+            # NOTE: overflow-UNSAFE — if any scatter index in column c-1
+            # exceeds the budget, its delta is dropped (mode="drop") and the
+            # carry this compensation assumes desyncs. This script's inputs
+            # are scaled to stay inside the budget, so C is valid HERE, but
+            # production pack_pairs (ops/pallas_tiles.py) uses the
+            # carry-SUBTRACTION form for exactly that reason.
             d = d.at[0].add(-vals[-1, c - 1])
         deltas.append(d)
     idx = jnp.concatenate([base + c * NP_SLOTS for c in range(K)])

@@ -213,6 +213,68 @@ class TestLosses:
         # XLA's default conv precision differs slightly from torch's f32 conv
         assert abs(ours - expected) < 1e-2
 
+    @staticmethod
+    def _flat_bright_pair(rng, h=256, w=256):
+        """The SSIM failure region for low-precision moments: bright, flat,
+        tiny texture — sigma² ≈ 0 so any E[x²] rounding error competes
+        directly with C2 = 9e-4."""
+        base = 0.7 + 0.01 * np.linspace(0, 1, w)[None, :] * np.ones((h, 1))
+        img1 = np.clip(np.repeat(base[None], 3, 0)
+                       + rng.randn(3, h, w) * 1e-3, 0, 1).astype(np.float32)
+        img2 = np.clip(img1 + rng.randn(3, h, w) * 1e-3, 0, 1).astype(np.float32)
+        return img1, img2
+
+    @staticmethod
+    def _ssim_f64(img1, img2):
+        """float64 oracle with the same banded-Toeplitz SAME padding."""
+        from gaussian_garments_tpu.utils.losses import _band_matrix_np
+        bh = _band_matrix_np(img1.shape[1], 11, 1.5).astype(np.float64)
+        bw = _band_matrix_np(img1.shape[2], 11, 1.5).astype(np.float64)
+
+        def blur(x):
+            return np.einsum("chw,hg->cgw", np.einsum(
+                "chw,wv->chv", x.astype(np.float64), bw), bh)
+
+        mu1, mu2 = blur(img1), blur(img2)
+        e11, e22, e12 = blur(img1 * img1), blur(img2 * img2), blur(img1 * img2)
+        s11, s22, s12 = e11 - mu1 * mu1, e22 - mu2 * mu2, e12 - mu1 * mu2
+        C1, C2 = 0.01 ** 2, 0.03 ** 2
+        return float((((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) /
+                      ((mu1 * mu1 + mu2 * mu2 + C1) * (s11 + s22 + C2))).mean())
+
+    def test_ssim_flat_bright_matches_f64_oracle(self, rng):
+        """Regression for the r4 prod-drive SSIM explosion: the flat-bright
+        failure region must agree with a float64 oracle and stay in [-1,1]."""
+        img1, img2 = self._flat_bright_pair(rng)
+        ours = float(ssim(jnp.asarray(img1), jnp.asarray(img2)))
+        assert -1.0 <= ours <= 1.0
+        assert abs(ours - self._ssim_f64(img1, img2)) < 1e-3
+
+    def test_ssim_bf16_inputs_safe(self, rng):
+        """bf16 images must not explode SSIM (the r4 bug: eval renders
+        reached ssim() as bf16 → img*img rounded in bf16 → sigma² < -C2 →
+        eval_ssim = -4.73/+1.217). ssim() now casts to f32 first; the only
+        remaining error is the bf16 quantization of the images themselves."""
+        img1, img2 = self._flat_bright_pair(rng)
+        v32 = float(ssim(jnp.asarray(img1), jnp.asarray(img2)))
+        vbf = float(ssim(jnp.asarray(img1, jnp.bfloat16),
+                         jnp.asarray(img2, jnp.bfloat16)))
+        vmix = float(ssim(jnp.asarray(img1, jnp.bfloat16), jnp.asarray(img2)))
+        for v in (vbf, vmix):
+            assert -1.0 <= v <= 1.0
+            # quantized-input SSIM differs from f32 SSIM, but boundedly
+            assert abs(v - v32) < 0.05
+
+    def test_image_metrics_masked_keys(self, rng):
+        from gaussian_garments_tpu.utils.quality import image_metrics
+        img1, img2 = self._flat_bright_pair(rng, 64, 64)
+        mask = np.zeros((1, 64, 64), np.float32)
+        mask[:, 16:48, 16:48] = 1.0
+        m = image_metrics(jnp.asarray(img1), jnp.asarray(img2),
+                          jnp.asarray(mask))
+        assert set(m) == {"psnr", "ssim", "psnr_masked", "ssim_masked"}
+        assert -1.0 <= m["ssim_masked"] <= 1.0
+
 
 class TestGeneral:
     def test_expon_lr(self):

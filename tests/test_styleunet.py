@@ -166,6 +166,34 @@ class TestDiscriminatorParity:
         out = net.apply(variables, x, pose)
         assert out.shape == (2, 1) and np.isfinite(np.asarray(out)).all()
 
+    def test_pose_conditioned_head_matches_torch(self, rng):
+        """Weight-copy parity for the c_dim>0 projection head: the (B,1)
+        logit broadcast against the (B,64) pose embedding,
+        normalize_2nd_moment, and the lr_mul=0.01 mapping MLP
+        (reference styleunet.py:517-535, :559-563)."""
+        su = _load_ref_styleunet()
+        torch.manual_seed(2)
+        c_dim = 10
+        ref = su.Discriminator(SIZE, img_channel=6, c_dim=c_dim).eval()
+        net = S.Discriminator(size=SIZE, img_channel=6, c_dim=c_dim)
+        x = rng.randn(4, 6, SIZE, SIZE).astype(np.float32)
+        pose = rng.randn(4, c_dim).astype(np.float32)
+
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             jnp.asarray(pose))
+        copied = self._copy(ref, variables)
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        for i in range(4):
+            copied["params"][f"mapping_{i}"]["weight"] = sd[f"mapping.{i}.weight"]
+            copied["params"][f"mapping_{i}"]["bias"] = sd[f"mapping.{i}.bias"]
+        variables = jax.tree.map(jnp.asarray, copied)
+
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(x), torch.tensor(pose))
+        ours = net.apply(variables, jnp.asarray(x), jnp.asarray(pose))
+        np.testing.assert_allclose(np.asarray(ours), ref_out.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
 
 class TestSWGANUnetParity:
     def test_forward_matches_torch(self, rng):
