@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import os
 import pickle
+import time
 from pathlib import Path
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -265,8 +267,11 @@ class Simulation:
             textures.append((jnp.asarray(ambient), jnp.asarray(normal)))
         return vert_list, textures, (body_v, body_f)
 
-    def forward(self, idx: int, camera) -> Tuple[List[dict], jnp.ndarray]:
+    def forward(self, idx: int, camera,
+                timings: Optional[dict] = None) -> Tuple[List[dict], jnp.ndarray]:
+        t0 = time.perf_counter()
         vert_list, textures, _ = self.prepare_frame(idx)
+        t1 = time.perf_counter()
         updates = []
         for g, verts, (amb, nrm) in zip(self.garments, vert_list, textures):
             u, _ = update_garment(g, verts, amb, nrm,
@@ -277,4 +282,9 @@ class Simulation:
         else:
             vis = joint_visibility_depth(updates, camera.world_view_transform,
                                          camera.full_proj_transform)
+        if timings is not None:
+            jax.block_until_ready(vis)
+            t2 = time.perf_counter()
+            timings["bake_mesh_io_s"] = timings.get("bake_mesh_io_s", 0.0) + (t1 - t0)
+            timings["net_vis_s"] = timings.get("net_vis_s", 0.0) + (t2 - t1)
         return updates, vis

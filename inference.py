@@ -81,24 +81,45 @@ def main():
     out_dir = Path(args.output_path) / "renders"
     os.makedirs(out_dir, exist_ok=True)
 
+    # per-frame wall decomposition (VERDICT r4: the prod drive's 98 s/frame
+    # vs the 21-24 fps jitted-step bench needed reconciling): phases are
+    # [bake+mesh IO | net+visibility | body raster | 3x render | PNG write],
+    # printed per frame and summarized at the end. Frame 0 includes compiles.
+    import time
+    totals: dict = {}
     for idx in range(len(simu)):
-        updates, vis = simu.forward(idx, camera)
+        t = {}
+        updates, vis = simu.forward(idx, camera, timings=t)
+        t0 = time.perf_counter()
         body_v = jnp.asarray(np.asarray(simu.pkl["obstacle"][idx], np.float32))
         body_f = jnp.asarray(np.asarray(simu.pkl["obstacle_faces"], np.int64).astype(np.int32))
         body_mask, body_image = body_mask_and_image(
             body_v, body_f,
             [u["mesh_v"] for u in updates], [u["mesh_f"] for u in updates], camera)
-
+        jax.block_until_ready(body_image)
+        t1 = time.perf_counter()
         panels = []
         for key in ("shs", "raw_shs", "style"):
             bundle = concat_bundle(updates, vis, args.sh_degree, override=key)
             out = render(camera, bundle, bg, config=cfg)
             panel = composite(out["render"], out["alpha"][0], body_image, body_mask)
             panels.append(panel)
-        row = np.concatenate([np.asarray(p).transpose(1, 2, 0) for p in panels], axis=1)
+        rows = [np.asarray(p).transpose(1, 2, 0) for p in panels]
+        t2 = time.perf_counter()
+        row = np.concatenate(rows, axis=1)
         save_image(out_dir / f"{idx:05d}.png", row)
-        print(f"[{idx+1}/{len(simu)}] rendered")
+        t3 = time.perf_counter()
+        t["body_s"] = t1 - t0
+        t["render3_s"] = t2 - t1
+        t["png_s"] = t3 - t2
+        for k, v in t.items():
+            totals[k] = totals.get(k, 0.0) + v
+        print(f"[{idx+1}/{len(simu)}] rendered  "
+              + " ".join(f"{k}={v:.2f}" for k, v in t.items()))
 
+    n = max(len(simu), 1)
+    print("timing per frame (s, mean incl. frame-0 compiles): "
+          + " ".join(f"{k}={v / n:.2f}" for k, v in totals.items()))
     print("Inference complete.")
 
 
