@@ -110,7 +110,19 @@ def batch_rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: n
 
 def lbs(betas, pose, v_template, shapedirs, posedirs, J_regressor, parents, lbs_weights):
     """Core LBS (reference :172-243). Returns (A (J,4,4), verts (V,3),
-    pose_offsets (V,3)) for batch element 0."""
+    pose_offsets (V,3)) for batch element 0.
+
+    Matmul precision pinned to f32 for the whole skinning chain: the TPU
+    default rounds matmul inputs to bf16 (~2e-3 relative → ~2 mm on body
+    vertices), while the reference smplx lbs is f32 torch. These matmuls run
+    once per frame on (V,J)-sized operands — memory-bound, so f32 passes
+    cost nothing measurable."""
+    with jax.default_matmul_precision("float32"):
+        return _lbs_f32(betas, pose, v_template, shapedirs, posedirs,
+                        J_regressor, parents, lbs_weights)
+
+
+def _lbs_f32(betas, pose, v_template, shapedirs, posedirs, J_regressor, parents, lbs_weights):
     b = max(betas.shape[0], pose.shape[0])
     v_shaped = v_template[None] + jnp.einsum("bl,mkl->bmk", betas, shapedirs)
     J = jnp.einsum("bik,ji->bjk", v_shaped, J_regressor)
@@ -131,8 +143,10 @@ def lbs(betas, pose, v_template, shapedirs, posedirs, J_regressor, parents, lbs_
 
 
 def _full_pose(model: SmplxModel, p: Dict) -> jnp.ndarray:
-    lh = jnp.asarray(p["left_hand_pose"]).reshape(1, -1) @ jnp.asarray(model.left_hand_components)
-    rh = jnp.asarray(p["right_hand_pose"]).reshape(1, -1) @ jnp.asarray(model.right_hand_components)
+    # f32 like lbs(): hand-PCA projection feeds joint angles
+    with jax.default_matmul_precision("float32"):
+        lh = jnp.asarray(p["left_hand_pose"]).reshape(1, -1) @ jnp.asarray(model.left_hand_components)
+        rh = jnp.asarray(p["right_hand_pose"]).reshape(1, -1) @ jnp.asarray(model.right_hand_components)
     full = jnp.concatenate([
         jnp.asarray(p["global_orient"]).reshape(1, 3),
         jnp.asarray(p["body_pose"]).reshape(NUM_BODY_JOINTS, 3),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -39,13 +40,19 @@ class ProjectedGaussians:
 
 
 def transform_point_4x3(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """Row-vector affine transform: (N,3) @ (4,4)[:, :3]."""
-    return p @ m[:3, :3] + m[3, :3]
+    """Row-vector affine transform: (N,3) @ (4,4)[:, :3].
+
+    Precision pinned to HIGHEST: splat positions ride this matmul into clip
+    space, and the TPU default rounds matmul INPUTS to bf16 (~2e-3 relative
+    → ~2 px at fx≈2200), while the reference CUDA transform is f32
+    (forward.cu transformPoint4x3). K=3 keeps the matmul memory-bound, so
+    HIGHEST is free (bench-neutral, MEASUREMENTS.md r5)."""
+    return jnp.matmul(p, m[:3, :3], precision=jax.lax.Precision.HIGHEST) + m[3, :3]
 
 
 def transform_point_4x4(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """Row-vector homogeneous transform → (N,4)."""
-    return p @ m[:3, :] + m[3, :]
+    """Row-vector homogeneous transform → (N,4); HIGHEST like 4x3 above."""
+    return jnp.matmul(p, m[:3, :], precision=jax.lax.Precision.HIGHEST) + m[3, :]
 
 
 def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray, scaling_modifier: float = 1.0) -> jnp.ndarray:

@@ -51,15 +51,20 @@ def main():
     from gaussian_garments_tpu.utils import losses
 
     rng = np.random.default_rng(0)
-    # BRIGHT flat low-contrast pair — the real failure region: moment
-    # rounding error scales with the pixel magnitude (~2e-3 at 0.7 for bf16)
-    # while sigma² ≈ 0, so the error competes directly with C2 = 9e-4.
-    # (A dim ~0.02 pair — r4's first guess — has ~1e-6 moment error and
-    # never fails, which is why the r4 probe couldn't reproduce the bug.)
+    # BRIGHT flat pair with MATERIALLY different images (~30 dB apart) — the
+    # real failure region. Two conditions must hold for default-precision
+    # bf16 input rounding to blow up the ratio:
+    # (1) pixel magnitude ~0.7 so the absolute moment error (~2e-3) competes
+    #     with C2 = 9e-4 (a dim ~0.02 pair has ~1e-6 error and never fails);
+    # (2) img1 != img2 at realistic eval distance — for NEAR-IDENTICAL pairs
+    #     the sigma errors are correlated (2*sigma12+C2 tracks
+    #     sigma1²+sigma2²+C2) and CANCEL in the ratio, which is why r4's
+    #     probes read "no difference" while the production eval (render vs
+    #     GT at PSNR 34.5) measured 0.0434 with the r4 code vs 0.9952 fixed.
     h, w = 512, 512
     base = 0.7 + 0.01 * np.linspace(0, 1, w)[None, :] * np.ones((h, 1))
     img1 = np.repeat(base[None], 3, 0) + rng.normal(0, 1e-3, (3, h, w))
-    img2 = img1 + rng.normal(0, 1e-3, (3, h, w))
+    img2 = img1 + rng.normal(0, 0.03, (3, h, w))
     img1 = np.clip(img1, 0, 1).astype(np.float32)
     img2 = np.clip(img2, 0, 1).astype(np.float32)
     j1, j2 = jnp.asarray(img1), jnp.asarray(img2)
