@@ -61,6 +61,49 @@ def _band_matrix_np(size: int, window_size: int, sigma: float):
     return band
 
 
+_BLOCK = 128
+
+
+@functools.lru_cache(maxsize=16)
+def _band_blocks_np(size: int, window_size: int, sigma: float):
+    """(nc,128,128) diagonal/upper/lower block stacks of the 128-padded band
+    matrix: the band is block-tridiagonal at 128-blocks (window 11 ≪ 128),
+    so `x @ band` = 3 batched (…,128)@(128,128) matmuls at 3·128/size of the
+    dense FLOPs (≈0.3× at production heights)."""
+    nc = -(-size // _BLOCK)
+    sp = nc * _BLOCK
+    b = np.zeros((sp, sp), np.float32)
+    b[:size, :size] = _band_matrix_np(size, window_size, sigma)
+    zero = np.zeros((_BLOCK, _BLOCK), np.float32)
+    D = np.stack([b[c * _BLOCK:(c + 1) * _BLOCK, c * _BLOCK:(c + 1) * _BLOCK]
+                  for c in range(nc)])
+    U = np.stack([b[(c - 1) * _BLOCK:c * _BLOCK, c * _BLOCK:(c + 1) * _BLOCK]
+                  if c > 0 else zero for c in range(nc)])
+    L = np.stack([b[(c + 1) * _BLOCK:(c + 2) * _BLOCK, c * _BLOCK:(c + 1) * _BLOCK]
+                  if c + 1 < nc else zero for c in range(nc)])
+    return D, U, L, nc, sp
+
+
+def _blur_block_axis(x: jnp.ndarray, size: int, window_size: int, sigma: float,
+                     precision) -> jnp.ndarray:
+    """Blur the LAST axis of ``x`` by the banded matrix in block-tridiagonal
+    form (see ``_band_blocks_np``); numerically identical to the dense
+    ``x @ band`` at the same dot precision (same products, same adds per
+    output up to the 3-term regroup)."""
+    D, U, L, nc, sp = _band_blocks_np(size, window_size, sigma)
+    D, U, L = jnp.asarray(D), jnp.asarray(U), jnp.asarray(L)
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, sp - size)])
+    xc = x.reshape(*x.shape[:-1], nc, _BLOCK)
+    zeros = jnp.zeros_like(xc[..., :1, :])
+    xprev = jnp.concatenate([zeros, xc[..., :-1, :]], axis=-2)
+    xnext = jnp.concatenate([xc[..., 1:, :], zeros], axis=-2)
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    y = (jnp.einsum("...ck,ckv->...cv", xc, D, **kw)
+         + jnp.einsum("...ck,ckv->...cv", xprev, U, **kw)
+         + jnp.einsum("...ck,ckv->...cv", xnext, L, **kw))
+    return y.reshape(*x.shape[:-1], sp)[..., :size]
+
+
 def _blur(img: jnp.ndarray, window_size: int, sigma: float = 1.5) -> jnp.ndarray:
     """Depthwise separable gaussian blur of (N,C,H,W) with SAME padding,
     as two MXU matmuls (see module docstring for the TPU A/B).
