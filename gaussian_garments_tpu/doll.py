@@ -65,13 +65,16 @@ def load_garment(name: str, *, sh_degree: int = 3, texture_size: int = 512,
                    sh_degree=sh_degree)
 
 
-def update_garment(g: Garment, verts: np.ndarray, ambient: jnp.ndarray,
+def update_garment(g: Garment, verts, ambient: jnp.ndarray,
                    normal: jnp.ndarray, world_view, campos):
     """AvatarNet forward for one garment (inference.py:251-262). Returns
-    (bundle pieces dict, style texture rows)."""
+    (bundle pieces dict, style texture rows). Tracer-safe in ``verts`` so the
+    whole per-frame path can live under one jit (the un-jitted per-op
+    dispatch through the TPU tunnel costs ~20 ms each — seconds per frame;
+    MEASUREMENTS.md "Inference wall decomposition")."""
     from gaussian_garments_tpu.models.avatar_net import apply_shadow
 
-    v = jnp.asarray(np.asarray(verts, np.float32))
+    v = jnp.asarray(verts, jnp.float32)
     f = jnp.asarray(np.asarray(g.template["faces"], np.int64).astype(np.int32))
     frames = MG.compute_face_frames(v, f)
     rows = MG.gather_frame_rows(frames, g.bind.binding, v, f)
@@ -196,14 +199,19 @@ def body_mask_and_image(body_v, body_f, garment_vs, garment_fs, camera):
     return body_mask, body_image
 
 
-def composite(garment_rgb: jnp.ndarray, garment_alpha: jnp.ndarray,
-              body_image: jnp.ndarray, body_mask: jnp.ndarray) -> np.ndarray:
+def composite_jnp(garment_rgb: jnp.ndarray, garment_alpha: jnp.ndarray,
+                  body_image: jnp.ndarray, body_mask: jnp.ndarray) -> jnp.ndarray:
     """Doll.render compositing (:318-330): garment RGBA over the body image,
-    with body-occluded garment pixels removed."""
+    with body-occluded garment pixels removed. Pure-jnp (jit-safe)."""
     rgb = jnp.clip(garment_rgb, 0.0, 1.0)
     a = jnp.clip(garment_alpha, 0.0, 1.0) * (~body_mask)[None].astype(jnp.float32)
     out = rgb * a + body_image * (1.0 - a)
-    return np.asarray(jnp.clip(out, 0, 1))
+    return jnp.clip(out, 0, 1)
+
+
+def composite(garment_rgb, garment_alpha, body_image, body_mask) -> np.ndarray:
+    return np.asarray(composite_jnp(garment_rgb, garment_alpha, body_image,
+                                    body_mask))
 
 
 class Simulation:

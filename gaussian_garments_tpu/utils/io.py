@@ -230,4 +230,6 @@ def save_image(path, img: np.ndarray) -> None:
     if img.shape[-1] == 1:
         img = img[..., 0]
     os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
-    Image.fromarray((np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)).save(path)
+    if img.dtype != np.uint8:   # uint8 passes through (device-quantized rows)
+        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    Image.fromarray(img).save(path)

@@ -81,37 +81,81 @@ def main():
     out_dir = Path(args.output_path) / "renders"
     os.makedirs(out_dir, exist_ok=True)
 
-    # per-frame wall decomposition (VERDICT r4: the prod drive's 98 s/frame
-    # vs the 21-24 fps jitted-step bench needed reconciling): phases are
-    # [bake+mesh IO | net+visibility | body raster | 3x render | PNG write],
-    # printed per frame and summarized at the end. Frame 0 includes compiles.
-    import time
-    totals: dict = {}
-    for idx in range(len(simu)):
-        t = {}
-        updates, vis = simu.forward(idx, camera, timings=t)
-        t0 = time.perf_counter()
-        body_v = jnp.asarray(np.asarray(simu.pkl["obstacle"][idx], np.float32))
-        body_f = jnp.asarray(np.asarray(simu.pkl["obstacle_faces"], np.int64).astype(np.int32))
+    body_f_np = np.asarray(simu.pkl["obstacle_faces"], np.int64).astype(np.int32)
+
+    from gaussian_garments_tpu.doll import (composite_jnp, joint_visibility,
+                                            joint_visibility_depth,
+                                            update_garment)
+
+    def frame_device(vert_list, textures, body_v):
+        """The ENTIRE per-frame device path as one traced function: garment
+        net forwards -> joint visibility -> body raster -> 3 panel renders ->
+        composite -> uint8 row. Un-jitted, the same path costs seconds/frame
+        in ~20 ms-per-dispatch tunnel overhead (r4 drive: 98 s/frame;
+        MEASUREMENTS.md "Inference wall decomposition"); jitted it is one
+        dispatch + one ~11 MB uint8 readback. The three panels share
+        projection/binning: identical subgraphs CSE inside the jit."""
+        updates = []
+        for g, v, (amb, nrm) in zip(simu.garments, vert_list, textures):
+            u, _ = update_garment(g, v, amb, nrm,
+                                  camera.world_view_transform, camera.camera_center)
+            updates.append(u)
+        vis = joint_visibility_depth(updates, camera.world_view_transform,
+                                     camera.full_proj_transform)
         body_mask, body_image = body_mask_and_image(
-            body_v, body_f,
+            body_v, jnp.asarray(body_f_np),
             [u["mesh_v"] for u in updates], [u["mesh_f"] for u in updates], camera)
-        jax.block_until_ready(body_image)
-        t1 = time.perf_counter()
         panels = []
         for key in ("shs", "raw_shs", "style"):
             bundle = concat_bundle(updates, vis, args.sh_degree, override=key)
             out = render(camera, bundle, bg, config=cfg)
-            panel = composite(out["render"], out["alpha"][0], body_image, body_mask)
-            panels.append(panel)
-        rows = [np.asarray(p).transpose(1, 2, 0) for p in panels]
+            panels.append(composite_jnp(out["render"], out["alpha"][0],
+                                        body_image, body_mask))
+        row = jnp.concatenate(panels, axis=2).transpose(1, 2, 0)  # (H, 3W, 3)
+        return jnp.clip(jnp.round(row * 255.0), 0, 255).astype(jnp.uint8)
+
+    frame_jit = jax.jit(frame_device)
+
+    # per-frame wall decomposition (VERDICT r4: the prod drive's 98 s/frame
+    # vs the 21-24 fps jitted-step bench needed reconciling): phases are
+    # [bake+mesh IO (host) | device (one jitted call + readback) | PNG
+    # write], printed per frame and summarized at the end. Frame 0 includes
+    # the compile. --exact_visibility keeps the legacy un-jitted loop (the
+    # first-hit ray cast runs on the host BVH).
+    import time
+    totals: dict = {}
+    for idx in range(len(simu)):
+        t = {}
+        if args.exact_visibility:
+            updates, vis = simu.forward(idx, camera, timings=t)
+            t0 = time.perf_counter()
+            body_v = jnp.asarray(np.asarray(simu.pkl["obstacle"][idx], np.float32))
+            body_mask, body_image = body_mask_and_image(
+                body_v, jnp.asarray(body_f_np),
+                [u["mesh_v"] for u in updates], [u["mesh_f"] for u in updates],
+                camera)
+            panels = []
+            for key in ("shs", "raw_shs", "style"):
+                bundle = concat_bundle(updates, vis, args.sh_degree, override=key)
+                out = render(camera, bundle, bg, config=cfg)
+                panels.append(np.asarray(composite_jnp(
+                    out["render"], out["alpha"][0], body_image, body_mask)))
+            row_np = (np.clip(np.concatenate(
+                [p.transpose(1, 2, 0) for p in panels], axis=1), 0, 1)
+                * 255).round().astype(np.uint8)
+            t["device_s"] = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            vert_list, textures, (body_v_np, _) = simu.prepare_frame(idx)
+            t1 = time.perf_counter()
+            row = frame_jit([jnp.asarray(v, jnp.float32) for v in vert_list],
+                            textures, jnp.asarray(body_v_np, jnp.float32))
+            row_np = np.asarray(row)                 # blocks on the readback
+            t["bake_mesh_io_s"] = t1 - t0
+            t["device_s"] = time.perf_counter() - t1
         t2 = time.perf_counter()
-        row = np.concatenate(rows, axis=1)
-        save_image(out_dir / f"{idx:05d}.png", row)
-        t3 = time.perf_counter()
-        t["body_s"] = t1 - t0
-        t["render3_s"] = t2 - t1
-        t["png_s"] = t3 - t2
+        save_image(out_dir / f"{idx:05d}.png", row_np)
+        t["png_s"] = time.perf_counter() - t2
         for k, v in t.items():
             totals[k] = totals.get(k, 0.0) + v
         print(f"[{idx+1}/{len(simu)}] rendered  "
