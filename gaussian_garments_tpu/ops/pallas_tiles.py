@@ -61,6 +61,7 @@ reconstruct f32 rows via ``_unpack_block``; pair-gradient outputs stay f32.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -76,12 +77,16 @@ T_EPS = 1e-4
 LOG_T_EPS = float(np.log(1e-4))
 ALPHA_MAX = 0.99
 TILE_W = 16        # pixel-x per tile (lane-aligned)
-TILE_H = 32        # pixel-y per tile: 16x32 tiles generate ~0.66x the
+TILE_H = int(os.environ.get("GG_TILE_H", "32"))
+                   # pixel-y per tile: 16x32 tiles generate ~0.66x the
                    # (tile,splat) pairs of the CUDA-canonical 16x16 at bench
                    # scale, shrinking EVERY pair-space cost (binning sort,
                    # feature gather, both kernels' item counts, the backward
                    # pair-grad segment_sum) for ~1.33x per-pair pixel math —
-                   # measured win, MEASUREMENTS.md "tile shape A/B"
+                   # measured win, MEASUREMENTS.md "tile shape A/B".
+                   # GG_TILE_H overrides for shape experiments (the r5 ladder
+                   # shows the fwd kernel is grid-step-bound at ~6.5K items,
+                   # so taller tiles trade per-pair pixel math for item count)
 PIX = TILE_W * TILE_H  # 512 pixels on sublanes
 FDIM = 16
 CHUNK = 256        # pairs per work item (multiple of SUB; 512 measured
