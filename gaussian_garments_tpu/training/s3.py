@@ -215,7 +215,9 @@ def _s3_losses(net, net_params, net_buffers, splats, bind, mesh_f, item: S3Item,
     mask = item.mask if args.only_foreground_loss else None
     loss_dict: Dict[str, jnp.ndarray] = {}
     loss_dict["img"] = l1_loss(rendered, item.image, mask) * (1.0 - args.lambda_dssim)
-    loss_dict["ssim"] = 1.0 - ssim(rendered, item.image, mask) * args.lambda_dssim
+    # fast=True: 3-pass bf16 blur in the LOSS only (losses._blur docstring)
+    loss_dict["ssim"] = 1.0 - ssim(rendered, item.image, mask,
+                                   fast=True) * args.lambda_dssim
     # hinges (s3_appearance.py:134-137): local_xyz per item; scale/opacity
     # global. Dense layout: reduce over alive texels only, so the hinge
     # values/grads match the compact (reference) reduction exactly.

@@ -61,73 +61,42 @@ def _band_matrix_np(size: int, window_size: int, sigma: float):
     return band
 
 
-_BLOCK = 128
-
-
-@functools.lru_cache(maxsize=16)
-def _band_blocks_np(size: int, window_size: int, sigma: float):
-    """(nc,128,128) diagonal/upper/lower block stacks of the 128-padded band
-    matrix: the band is block-tridiagonal at 128-blocks (window 11 ≪ 128),
-    so `x @ band` = 3 batched (…,128)@(128,128) matmuls at 3·128/size of the
-    dense FLOPs (≈0.3× at production heights)."""
-    nc = -(-size // _BLOCK)
-    sp = nc * _BLOCK
-    b = np.zeros((sp, sp), np.float32)
-    b[:size, :size] = _band_matrix_np(size, window_size, sigma)
-    zero = np.zeros((_BLOCK, _BLOCK), np.float32)
-    D = np.stack([b[c * _BLOCK:(c + 1) * _BLOCK, c * _BLOCK:(c + 1) * _BLOCK]
-                  for c in range(nc)])
-    U = np.stack([b[(c - 1) * _BLOCK:c * _BLOCK, c * _BLOCK:(c + 1) * _BLOCK]
-                  if c > 0 else zero for c in range(nc)])
-    L = np.stack([b[(c + 1) * _BLOCK:(c + 2) * _BLOCK, c * _BLOCK:(c + 1) * _BLOCK]
-                  if c + 1 < nc else zero for c in range(nc)])
-    return D, U, L, nc, sp
-
-
-def _blur_block_axis(x: jnp.ndarray, size: int, window_size: int, sigma: float,
-                     precision) -> jnp.ndarray:
-    """Blur the LAST axis of ``x`` by the banded matrix in block-tridiagonal
-    form (see ``_band_blocks_np``); numerically identical to the dense
-    ``x @ band`` at the same dot precision (same products, same adds per
-    output up to the 3-term regroup)."""
-    D, U, L, nc, sp = _band_blocks_np(size, window_size, sigma)
-    D, U, L = jnp.asarray(D), jnp.asarray(U), jnp.asarray(L)
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, sp - size)])
-    xc = x.reshape(*x.shape[:-1], nc, _BLOCK)
-    zeros = jnp.zeros_like(xc[..., :1, :])
-    xprev = jnp.concatenate([zeros, xc[..., :-1, :]], axis=-2)
-    xnext = jnp.concatenate([xc[..., 1:, :], zeros], axis=-2)
-    kw = dict(preferred_element_type=jnp.float32, precision=precision)
-    y = (jnp.einsum("...ck,ckv->...cv", xc, D, **kw)
-         + jnp.einsum("...ck,ckv->...cv", xprev, U, **kw)
-         + jnp.einsum("...ck,ckv->...cv", xnext, L, **kw))
-    return y.reshape(*x.shape[:-1], sp)[..., :size]
-
-
-def _blur(img: jnp.ndarray, window_size: int, sigma: float = 1.5) -> jnp.ndarray:
+def _blur(img: jnp.ndarray, window_size: int, sigma: float = 1.5,
+          fast: bool = False) -> jnp.ndarray:
     """Depthwise separable gaussian blur of (N,C,H,W) with SAME padding,
     as two MXU matmuls (see module docstring for the TPU A/B).
 
-    Precision is pinned to HIGHEST for portability: on TPU generations where
-    the default matmul precision rounds f32 INPUTS to bf16
-    (`preferred_element_type` only widens the accumulator), the blurred
-    moments would carry ~2e-3 absolute error — bigger than SSIM's
-    C2 = 9e-4 — and sigma1_sq+sigma2_sq could cross -C2. On the current
-    chip default precision measures f32-exact (probe_ssim_precision.py), so
-    HIGHEST costs nothing here; see MEASUREMENTS.md "SSIM bf16 fix (r5)"."""
+    Precision must NOT be default: the TPU default rounds matmul INPUTS to
+    bf16 (`preferred_element_type` only widens the accumulator), putting
+    ~2e-3 absolute error on the blurred moments — bigger than SSIM's
+    C2 = 9e-4 — so sigma1_sq+sigma2_sq crosses -C2 and the ratio explodes
+    on real render-vs-GT pairs (the r4 prod drive logged eval_ssim = -4.73;
+    the controlled re-run measured 0.0434 vs 0.9952, MEASUREMENTS.md "SSIM
+    precision root cause"). Two correct modes, A/B'd on the s2 production
+    shape (scripts/profile_ssim.py, fwd+bwd of the full ssim()):
+      HIGHEST      26.2 ms, |d - f64| = 2.1e-6  (metric-grade; default)
+      fast (X3)    15.9 ms, |d - f64| = 3.5e-3 worst-case on an
+                   adversarial flat+noise pair (gradient-grade; the
+                   training losses opt in — SGD noise dwarfs 3.5e-3 on a
+                   loss TERM, and the r4 drive converged to PSNR 33.9/35.2
+                   with a blur that was off by 1.75 ABSOLUTE)."""
     bh = jnp.asarray(_band_matrix_np(img.shape[2], window_size, sigma))
     bw = jnp.asarray(_band_matrix_np(img.shape[3], window_size, sigma))
+    prec = (jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3 if fast
+            else jax.lax.Precision.HIGHEST)
     out = jnp.einsum("nchw,wv->nchv", img, bw,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=prec)
     return jnp.einsum("nchw,hg->ncgw", out, bh,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      preferred_element_type=jnp.float32, precision=prec)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11,
-         size_average: bool = True) -> jnp.ndarray:
+         size_average: bool = True, fast: bool = False) -> jnp.ndarray:
     """SSIM over (C,H,W) or (N,C,H,W) images; reference ``loss_utils.py:36-69``.
+
+    ``fast=True`` runs the blur at the 3-pass bf16 dot algorithm (see
+    ``_blur``): ~1.6× faster fwd+bwd, ≤3.5e-3 worst-case value error — used
+    by the s2/s3 TRAINING LOSSES only; metrics/eval keep the exact default.
 
     Inputs are force-cast to f32 BEFORE any products: a bf16 image makes
     ``img1*img1`` round in bf16, which breaks the Cauchy–Schwarz guarantee
@@ -155,7 +124,7 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, mask=None, window_size: int = 11,
     c = img1.shape[1]
     stacked = jnp.concatenate(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=1)
-    b = _blur(stacked, window_size)
+    b = _blur(stacked, window_size, fast=fast)
     mu1, mu2 = b[:, 0:c], b[:, c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     sigma1_sq = b[:, 2 * c:3 * c] - mu1_sq

@@ -308,21 +308,3 @@ class TestConfig:
         assert d.sh_degree == 2
         assert abs(o.lambda_dssim - 0.3) < 1e-9
         assert o.lambda_collision == 1e3
-
-
-class TestBlurBlock:
-    def test_block_banded_matches_dense(self, rng):
-        """The block-tridiagonal blur must reproduce the dense banded matmul
-        (same SAME-zero-pad semantics) on both axes and odd sizes."""
-        import jax
-        from gaussian_garments_tpu.utils.losses import (_band_matrix_np,
-                                                        _blur_block_axis)
-        for size in (150, 256, 940):
-            x = rng.randn(2, 3, 7, size).astype(np.float32)
-            band = _band_matrix_np(size, 11, 1.5)
-            dense = x.reshape(-1, size) @ band
-            block = np.asarray(_blur_block_axis(
-                jnp.asarray(x), size, 11, 1.5,
-                jax.lax.Precision.HIGHEST)).reshape(-1, size)
-            np.testing.assert_allclose(block, dense, atol=2e-6,
-                                       err_msg=f"size={size}")
