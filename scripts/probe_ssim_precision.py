@@ -61,7 +61,12 @@ def main():
     #     sigma1²+sigma2²+C2) and CANCEL in the ratio, which is why r4's
     #     probes read "no difference" while the production eval (render vs
     #     GT at PSNR 34.5) measured 0.0434 with the r4 code vs 0.9952 fixed.
-    h, w = 512, 512
+    # (3) PRODUCTION-SIZED axes — measured on this chip, 512² einsums lower
+    #     to an f32-exact path and the default row reads clean; only
+    #     ~1024+-sized contractions take the bf16-input MXU path
+    #     (profile_ssim.py's 1280×940 accuracy column is the demonstrator:
+    #     default |Δ| = 1.75, HIGHEST 2.1e-6).
+    h, w = 1280, 1024
     base = 0.7 + 0.01 * np.linspace(0, 1, w)[None, :] * np.ones((h, 1))
     img1 = np.repeat(base[None], 3, 0) + rng.normal(0, 1e-3, (3, h, w))
     img2 = img1 + rng.normal(0, 0.03, (3, h, w))
