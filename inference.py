@@ -87,16 +87,23 @@ def main():
                                             joint_visibility_depth,
                                             update_garment)
 
-    def frame_device(vert_list, textures, body_v):
+    def frame_device(vert_list, textures, body_v, gstates):
         """The ENTIRE per-frame device path as one traced function: garment
         net forwards -> joint visibility -> body raster -> 3 panel renders ->
         composite -> uint8 row. Un-jitted, the same path costs seconds/frame
         in ~20 ms-per-dispatch tunnel overhead (r4 drive: 98 s/frame;
         MEASUREMENTS.md "Inference wall decomposition"); jitted it is one
         dispatch + one ~11 MB uint8 readback. The three panels share
-        projection/binning: identical subgraphs CSE inside the jit."""
+        projection/binning: identical subgraphs CSE inside the jit.
+
+        Garment arrays (54.7M-param net, 262K-texel binding/splats) enter as
+        ARGUMENTS, not closure captures: captured they become HLO constants
+        and the tunnel's compile request blows its body-size limit
+        (observed: remote_compile HTTP 413 at ~220 MB of constants)."""
         updates = []
-        for g, v, (amb, nrm) in zip(simu.garments, vert_list, textures):
+        for g, v, (amb, nrm), (bind, splats, net_vars) in zip(
+                simu.garments, vert_list, textures, gstates):
+            g = g._replace(bind=bind, splats=splats, net_vars=net_vars)
             u, _ = update_garment(g, v, amb, nrm,
                                   camera.world_view_transform, camera.camera_center)
             updates.append(u)
@@ -115,6 +122,7 @@ def main():
         return jnp.clip(jnp.round(row * 255.0), 0, 255).astype(jnp.uint8)
 
     frame_jit = jax.jit(frame_device)
+    gstates = [(g.bind, g.splats, g.net_vars) for g in simu.garments]
 
     # per-frame wall decomposition (VERDICT r4: the prod drive's 98 s/frame
     # vs the 21-24 fps jitted-step bench needed reconciling): phases are
@@ -149,7 +157,8 @@ def main():
             vert_list, textures, (body_v_np, _) = simu.prepare_frame(idx)
             t1 = time.perf_counter()
             row = frame_jit([jnp.asarray(v, jnp.float32) for v in vert_list],
-                            textures, jnp.asarray(body_v_np, jnp.float32))
+                            textures, jnp.asarray(body_v_np, jnp.float32),
+                            gstates)
             row_np = np.asarray(row)                 # blocks on the readback
             t["bake_mesh_io_s"] = t1 - t0
             t["device_s"] = time.perf_counter() - t1
