@@ -122,7 +122,11 @@ def main():
         return jnp.clip(jnp.round(row * 255.0), 0, 255).astype(jnp.uint8)
 
     frame_jit = jax.jit(frame_device)
-    gstates = [(g.bind, g.splats, g.net_vars) for g in simu.garments]
+    # device-put ONCE: as host numpy these ~220 MB of per-garment arrays
+    # would be re-staged through the tunnel on EVERY frame dispatch
+    # (measured ~0.5 s/frame; CLAUDE.md probe hygiene)
+    gstates = jax.device_put([(g.bind, g.splats, g.net_vars)
+                              for g in simu.garments])
 
     # per-frame wall decomposition (VERDICT r4: the prod drive's 98 s/frame
     # vs the 21-24 fps jitted-step bench needed reconciling): phases are
