@@ -275,6 +275,21 @@ class TestLosses:
         assert set(m) == {"psnr", "ssim", "psnr_masked", "ssim_masked"}
         assert -1.0 <= m["ssim_masked"] <= 1.0
 
+    def test_ssim_fast_close_to_exact(self, rng):
+        """The X3 training-loss blur must stay within its documented
+        worst-case (≤5e-3) of the exact path, on the adversarial
+        flat-bright + strong-noise pair (profile_ssim.py's accuracy case).
+        On CPU X3 is emulated near-exactly; on TPU this bounds the real
+        3-pass split."""
+        base = 0.7 + 0.01 * np.linspace(0, 1, 256)[None, :] * np.ones((256, 1))
+        img1 = np.clip(np.repeat(base[None], 3, 0)
+                       + rng.randn(3, 256, 256) * 1e-3, 0, 1).astype(np.float32)
+        img2 = np.clip(img1 + rng.randn(3, 256, 256) * 0.03, 0, 1).astype(np.float32)
+        v_exact = float(ssim(jnp.asarray(img1), jnp.asarray(img2)))
+        v_fast = float(ssim(jnp.asarray(img1), jnp.asarray(img2), fast=True))
+        assert -1.0 <= v_fast <= 1.0
+        assert abs(v_fast - v_exact) < 5e-3
+
 
 class TestGeneral:
     def test_expon_lr(self):
