@@ -62,7 +62,14 @@ def rasterize_mesh(
     radius = jnp.max(jnp.linalg.norm(tri_xy - center[:, None, :], axis=-1), axis=1)
     depth = tri_z.mean(axis=1)
     in_front = jnp.all(tri_z > 0.01, axis=1)
-    radii = jnp.where(in_front, jnp.ceil(radius) + 1, 0).astype(jnp.int32)
+    # zero-screen-area faces draw no pixels (the per-pixel area≠0 guard) but
+    # would still consume tile_capacity slots — cull them at binning. This
+    # also makes (0,0,0)-padded faces from batched callers free.
+    e1 = tri_xy[:, 1] - tri_xy[:, 0]
+    e2 = tri_xy[:, 2] - tri_xy[:, 0]
+    area2d = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    radii = jnp.where(in_front & (area2d != 0.0),
+                      jnp.ceil(radius) + 1, 0).astype(jnp.int32)
 
     tiles_x = -(-image_width // tile_size)
     tiles_y = -(-image_height // tile_size)
