@@ -178,24 +178,21 @@ def body_mask_and_image(body_v, body_f, garment_vs, garment_fs, camera):
     """Shaded body render + 'body in front of garments' mask, replacing the
     aitviewer depth-compare pass (inference.py:469-477).
 
-    The 1+N per-scene depth rasters run as ONE vmapped call over
-    (vertex, face)-padded scenes: sequenced they cost ~21 ms each at
-    940×1280 on the chip (the r5 inference ladder's biggest line); padded
-    faces are (0,0,0) → zero area → culled by the rasterizer's area≠0
-    guard, padded vertices are never referenced by a real face."""
+    The 1+N per-scene depth rasters stay an UNROLLED python loop: a vmapped
+    call over (vertex,face)-padded scenes measured 2.8× SLOWER on the chip
+    (42.8 → 118.9 ms — the batched per-tile `tri_tab[idx_t]` gathers lower
+    as mixed-index gathers, the same pathology as "never vmap pack_pairs";
+    r5 ladder, MEASUREMENTS.md). ~21 ms per scene at 940×1280."""
     from gaussian_garments_tpu import geometry as geo
     from gaussian_garments_tpu.ops.mesh_raster import rasterize_mesh
 
     kw = dict(viewmatrix=camera.world_view_transform, projmatrix=camera.full_proj_transform,
               image_width=camera.image_width, image_height=camera.image_height)
-    scenes = [(body_v, body_f)] + list(zip(garment_vs, garment_fs))
-    vmax = max(int(v.shape[0]) for v, _ in scenes)
-    fmax = max(int(f.shape[0]) for _, f in scenes)
-    vs = jnp.stack([jnp.pad(v, ((0, vmax - v.shape[0]), (0, 0))) for v, _ in scenes])
-    fs = jnp.stack([jnp.pad(f, ((0, fmax - f.shape[0]), (0, 0))) for _, f in scenes])
-    faces_b, zs = jax.vmap(lambda v, f: rasterize_mesh(v, f, **kw))(vs, fs)
-    b_face, b_z = faces_b[0], zs[0]
-    g_z = jnp.min(zs[1:], axis=0)
+    b_face, b_z = rasterize_mesh(body_v, body_f, **kw)
+    g_z = jnp.full_like(b_z, jnp.inf)
+    for gv, gf in zip(garment_vs, garment_fs):
+        _, z = rasterize_mesh(gv, gf, **kw)
+        g_z = jnp.minimum(g_z, z)
     body_mask = (b_face >= 0) & (b_z < g_z)
 
     # headlight lambertian shading
